@@ -1,0 +1,91 @@
+"""Centralized engine configuration.
+
+The reference hardcodes its knobs across files (shadow map 2048^2 at
+mo_renderpass/src/shadow_pass.rs:56, IBL size 512 at
+mo_ecs/src/resource/ibl_resource.rs:41, camera speeds at
+mo_ecs/src/resource/camera.rs:13-15, SSAO near/far at
+resources/shaders/ssao.comp:12-13, window 1280x720 at
+mo_vk/src/window.rs:349-350).  Here they live in one typed config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+
+def _default_resource_root() -> str:
+    """Locate the ``resources/`` asset tree.
+
+    Checks $MO_RESOURCES, then ./resources, then the read-only reference
+    checkout (which holds the canonical textures/models for parity tests).
+    """
+    for cand in (
+        os.environ.get("MO_RESOURCES"),
+        os.path.join(os.getcwd(), "resources"),
+        "/root/repo/resources",
+        "/root/reference/resources",
+    ):
+        if cand and os.path.isdir(cand):
+            return cand
+    return os.path.join(os.getcwd(), "resources")
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    # Framebuffer (reference default window: mo_vk/src/window.rs:349-350)
+    width: int = 1280
+    height: int = 720
+
+    # Shadow map (shadow_pass.rs:54-61): fixed-size D32 depth map.
+    shadow_map_size: int = 2048
+    # Vulkan rasterizer depth bias used by the shadow pipeline
+    # (shadow_pass.rs:132-140): constant 2.0, slope 2.0.
+    shadow_depth_bias_const: float = 2.0
+    shadow_depth_bias_slope: float = 2.0
+
+    # IBL precompute (ibl_resource.rs:41-64)
+    ibl_cubemap_size: int = 512
+    ibl_brdf_lut_size: int = 512
+    ibl_env_name: str = "default_sky"
+    ibl_specular_samples: int = 1024
+    ibl_irradiance_delta: float = 0.025
+
+    # SSAO (ssao.comp:12-13): hardcoded linearization range.
+    ssao_near: float = 0.1
+    ssao_far: float = 100.0
+    ssao_enabled: bool = True
+    shadow_enabled: bool = True
+
+    # Rasterizer tiling. Pixel tiles are (tile_h, tile_w); tile_w must be a
+    # multiple of 128 (TPU lane count), tile_h a multiple of 8.
+    tile_h: int = 16
+    tile_w: int = 128
+    # Triangles are processed in chunks of this many per tile iteration.
+    tri_chunk: int = 256
+
+    # Static scene capacities (everything under jit needs static shapes).
+    max_vertices: int = 1 << 20
+    max_triangles: int = 1 << 20
+    max_meshes: int = 256
+    max_materials: int = 256
+    max_lights: int = 16
+    # Texture array: all material textures are resampled into one
+    # (N, tex_size, tex_size, 4) array for coherent per-pixel gathers.
+    texture_array_size: int = 1024
+    max_textures: int = 64
+
+    # Asset root containing gltf/, tex/, shaders/ subdirs.
+    resource_root: str = dataclasses.field(default_factory=_default_resource_root)
+
+    # Camera system constants (camera.rs:13-15).
+    rotate_speed: float = 0.3141592653589793  # PI / 10
+    move_speed: float = 0.01
+    mouse_sensitivity: float = 0.005
+
+    def __post_init__(self):
+        assert self.tile_w % 128 == 0, "tile_w must be a multiple of 128"
+        assert self.tile_h % 8 == 0, "tile_h must be a multiple of 8"
+
+
+DEFAULT_CONFIG = EngineConfig()
