@@ -1,0 +1,310 @@
+"""Texture sampling library — the TPU replacement for fixed-function
+samplers (mo_ecs/src/resource/global_samplers.rs, mo_vk/src/texture.rs).
+
+On TPU, sampling is a gather: every routine here is pure jax.numpy over
+batched pixel arrays.  Conventions follow GLSL ``texture()``:
+
+- texel centers at ``(i + 0.5) / N``; uv (0,0) samples the first row/col
+  (row 0 = top, matching the byte order Vulkan uploads see).
+- bilinear filtering with per-axis address modes clamp/repeat/mirror
+  (global_samplers.rs:13-54).
+- cube faces are ordered +X,-X,+Y,-Y,+Z,-Z with the GL coordinate
+  convention — identical to the reference's IBL ``getDirection`` table
+  (resources/shaders/ibl/cubemap_brdflut.comp:141-153, which matches the
+  GL spec exactly).
+- mip chains are packed flat (``MipCube``) so per-pixel LOD selection is
+  integer offset math + gathers: no per-mip control flow under jit.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+# Address modes (match assets/samplers.py AddressMode).
+CLAMP_TO_EDGE = 0
+REPEAT = 1
+MIRRORED_REPEAT = 2
+
+
+def wrap_index(i, n: int, mode: int):
+    """Wrap integer texel index i into [0, n) per address mode."""
+    if mode == REPEAT:
+        return jnp.mod(i, n)
+    if mode == MIRRORED_REPEAT:
+        period = 2 * n
+        m = jnp.mod(i, period)
+        return jnp.where(m < n, m, period - 1 - m)
+    return jnp.clip(i, 0, n - 1)
+
+
+def _gather2d(tex, iy, ix):
+    """tex (H, W, C); iy/ix int arrays (...,) -> (..., C)."""
+    h, w, c = tex.shape
+    flat = tex.reshape(h * w, c)
+    return jnp.take(flat, iy * w + ix, axis=0)
+
+
+def sample_nearest(tex, uv, mode: int = CLAMP_TO_EDGE):
+    """Nearest-neighbor sample; uv (..., 2) -> (..., C)."""
+    h, w, _ = tex.shape
+    ix = wrap_index(jnp.floor(uv[..., 0] * w).astype(jnp.int32), w, mode)
+    iy = wrap_index(jnp.floor(uv[..., 1] * h).astype(jnp.int32), h, mode)
+    return _gather2d(tex, iy, ix)
+
+
+def texel_fetch(tex, iy, ix):
+    """GLSL texelFetch with clamped coords (used by SSAO, ssao.comp:122)."""
+    h, w, _ = tex.shape
+    iy = jnp.clip(iy, 0, h - 1)
+    ix = jnp.clip(ix, 0, w - 1)
+    return _gather2d(tex, iy, ix)
+
+
+def sample_bilinear(tex, uv, mode: int = CLAMP_TO_EDGE):
+    """GLSL-style bilinear sample; tex (H, W, C), uv (..., 2) -> (..., C)."""
+    h, w, _ = tex.shape
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x0w = wrap_index(x0i, w, mode)
+    x1w = wrap_index(x0i + 1, w, mode)
+    y0w = wrap_index(y0i, h, mode)
+    y1w = wrap_index(y0i + 1, h, mode)
+    t00 = _gather2d(tex, y0w, x0w)
+    t10 = _gather2d(tex, y0w, x1w)
+    t01 = _gather2d(tex, y1w, x0w)
+    t11 = _gather2d(tex, y1w, x1w)
+    top = t00 * (1 - fx) + t10 * fx
+    bot = t01 * (1 - fx) + t11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def sample_array_bilinear(tex_array, layer, uv, mode: int = CLAMP_TO_EDGE):
+    """Bilinear sample from a texture array (the bindless analog).
+
+    tex_array (L, S, S, C); layer int (...,); uv (..., 2) -> (..., C).
+    All layers share one size, so the 4 taps become gathers into the flat
+    (L*S*S, C) buffer — one coherent gather stream per tap.
+    """
+    n_layers, h, w, c = tex_array.shape
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x0w = wrap_index(x0i, w, mode)
+    x1w = wrap_index(x0i + 1, w, mode)
+    y0w = wrap_index(y0i, h, mode)
+    y1w = wrap_index(y0i + 1, h, mode)
+    flat = tex_array.reshape(n_layers * h * w, c)
+    base = layer.astype(jnp.int32) * (h * w)
+
+    def tap(iy, ix):
+        return jnp.take(flat, base + iy * w + ix, axis=0)
+
+    t00 = tap(y0w, x0w)
+    t10 = tap(y0w, x1w)
+    t01 = tap(y1w, x0w)
+    t11 = tap(y1w, x1w)
+    top = t00 * (1 - fx) + t10 * fx
+    bot = t01 * (1 - fx) + t11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+# --- cube maps -----------------------------------------------------------
+
+def cube_direction(face: int, uv):
+    """Face+uv -> direction, the reference's getDirection table
+    (ibl/cubemap_brdflut.comp:141-153).  uv in [0,1]^2, returns (..., 3)."""
+    u = uv[..., 0] * 2.0 - 1.0
+    v = uv[..., 1] * 2.0 - 1.0
+    one = jnp.ones_like(u)
+    tables = [
+        lambda: jnp.stack([one, -v, -u], -1),     # +X right
+        lambda: jnp.stack([-one, -v, u], -1),     # -X left
+        lambda: jnp.stack([u, one, v], -1),       # +Y up
+        lambda: jnp.stack([u, -one, -v], -1),     # -Y down
+        lambda: jnp.stack([u, -v, one], -1),      # +Z front
+        lambda: jnp.stack([-u, -v, -one], -1),    # -Z back
+    ]
+    return tables[face]()
+
+
+def cube_face_uv(dirs):
+    """Direction (..., 3) -> (face int, u, v) — inverse of cube_direction,
+    i.e. the GL cube sampling rule used by samplerCube in the shaders."""
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+    # face selection by dominant axis
+    is_x = (ax >= ay) & (ax >= az)
+    is_y = (~is_x) & (ay >= az)
+    face = jnp.where(
+        is_x,
+        jnp.where(x >= 0, 0, 1),
+        jnp.where(is_y, jnp.where(y >= 0, 2, 3), jnp.where(z >= 0, 4, 5)),
+    ).astype(jnp.int32)
+    ma = jnp.where(is_x, ax, jnp.where(is_y, ay, az))
+    ma = jnp.maximum(ma, 1e-20)
+    # sc/tc per GL spec (identical to inverting cube_direction)
+    sc = jnp.where(
+        is_x,
+        jnp.where(x >= 0, -z, z),
+        jnp.where(is_y, x, jnp.where(z >= 0, x, -x)),
+    )
+    tc = jnp.where(is_y, jnp.where(y >= 0, z, -z), -y)
+    u = 0.5 * (sc / ma + 1.0)
+    v = 0.5 * (tc / ma + 1.0)
+    return face, u, v
+
+
+def sample_cubemap(faces, dirs):
+    """Bilinear cubemap sample (clamped at face edges, no seam blending).
+
+    faces (6, S, S, C); dirs (..., 3) -> (..., C).
+    """
+    _, s, _, c = faces.shape
+    face, u, v = cube_face_uv(dirs)
+    x = u * s - 0.5
+    y = v * s - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, s - 1)
+    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, s - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, s - 1)
+    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, s - 1)
+    flat = faces.reshape(6 * s * s, c)
+    base = face * (s * s)
+
+    def tap(iy, ix):
+        return jnp.take(flat, base + iy * s + ix, axis=0)
+
+    t00 = tap(y0i, x0i)
+    t10 = tap(y0i, x1i)
+    t01 = tap(y1i, x0i)
+    t11 = tap(y1i, x1i)
+    top = t00 * (1 - fx) + t10 * fx
+    bot = t01 * (1 - fx) + t11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+class MipCube:
+    """A cubemap mip chain packed into one flat texel buffer.
+
+    ``data``: (total_texels, C) with mip m occupying
+    ``offsets[m] : offsets[m] + 6*sizes[m]^2`` in face-major, row-major
+    order.  Per-pixel trilinear LOD needs only integer offset math +
+    gathers — no per-mip branches under jit.
+    """
+
+    def __init__(self, mips):
+        """mips: list of (6, S, S, C) arrays, S halving each level."""
+        self.num_levels = len(mips)
+        self.sizes = np.array([m.shape[1] for m in mips], dtype=np.int32)
+        offs = np.zeros(len(mips), dtype=np.int32)
+        acc = 0
+        for i, m in enumerate(mips):
+            offs[i] = acc
+            acc += 6 * m.shape[1] * m.shape[1]
+        self.offsets = offs
+        c = mips[0].shape[-1]
+        self.data = jnp.concatenate([jnp.asarray(m).reshape(-1, c) for m in mips], axis=0)
+
+    def level(self, m: int):
+        s = int(self.sizes[m])
+        o = int(self.offsets[m])
+        c = self.data.shape[-1]
+        return self.data[o : o + 6 * s * s].reshape(6, s, s, c)
+
+    def tree_flatten(self):
+        return (self.data,), (self.num_levels, self.sizes.tobytes(), self.offsets.tobytes())
+
+
+def _sample_mipcube_level(data, sizes, offsets, level, face, u, v):
+    """Bilinear sample at integer mip `level` (per-pixel int array)."""
+    s = jnp.take(sizes, level)
+    off = jnp.take(offsets, level)
+    x = u * s - 0.5
+    y = v * s - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, s - 1)
+    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, s - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, s - 1)
+    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, s - 1)
+    base = off + face * s * s
+
+    def tap(iy, ix):
+        return jnp.take(data, base + iy * s + ix, axis=0)
+
+    t00 = tap(y0i, x0i)
+    t10 = tap(y0i, x1i)
+    t01 = tap(y1i, x0i)
+    t11 = tap(y1i, x1i)
+    top = t00 * (1 - fx) + t10 * fx
+    bot = t01 * (1 - fx) + t11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def sample_mipcube_lod(mipcube: MipCube, dirs, lod):
+    """GLSL textureLod on a cubemap: trilinear between mip levels.
+
+    dirs (..., 3); lod (...,) float -> (..., C).
+    """
+    sizes = jnp.asarray(mipcube.sizes)
+    offsets = jnp.asarray(mipcube.offsets)
+    nl = mipcube.num_levels
+    face, u, v = cube_face_uv(dirs)
+    lod = jnp.clip(lod, 0.0, nl - 1)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, nl - 1)
+    f = (lod - l0.astype(lod.dtype))[..., None]
+    c0 = _sample_mipcube_level(mipcube.data, sizes, offsets, l0, face, u, v)
+    c1 = _sample_mipcube_level(mipcube.data, sizes, offsets, l1, face, u, v)
+    return c0 * (1 - f) + c1 * f
+
+
+# --- equirectangular -----------------------------------------------------
+
+def spherical_uv(dirs):
+    """Direction -> equirect uv, the reference's sampleSphericalMap
+    (ibl/cubemap_brdflut.comp:155-160): u = atan2(z,x)/2pi + .5,
+    v = asin(y)/pi + .5."""
+    u = jnp.arctan2(dirs[..., 2], dirs[..., 0]) / (2.0 * jnp.pi) + 0.5
+    v = jnp.arcsin(jnp.clip(dirs[..., 1], -1.0, 1.0)) / jnp.pi + 0.5
+    return jnp.stack([u, v], axis=-1)
+
+
+def sample_equirect(tex, dirs):
+    """Sample an equirectangular map by direction (wrap in x, clamp in y)."""
+    uv = spherical_uv(dirs)
+    h, w, _ = tex.shape
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    x1i = jnp.mod(x0.astype(jnp.int32) + 1, w)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+    t00 = _gather2d(tex, y0i, x0i)
+    t10 = _gather2d(tex, y0i, x1i)
+    t01 = _gather2d(tex, y1i, x0i)
+    t11 = _gather2d(tex, y1i, x1i)
+    top = t00 * (1 - fx) + t10 * fx
+    bot = t01 * (1 - fx) + t11 * fx
+    return top * (1 - fy) + bot * fy

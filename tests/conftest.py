@@ -1,12 +1,15 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
 Must set env vars before the first jax import anywhere in the test process.
-Pallas kernels detect the CPU platform and switch to interpret mode.
+The harness may preset JAX_PLATFORMS to the real TPU platform — unit tests
+must override it: they are numeric-correctness tests, and compiling on a
+remote TPU makes them orders of magnitude slower.  Pallas kernels detect the
+CPU platform and switch to interpret mode.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
