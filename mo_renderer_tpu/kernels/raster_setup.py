@@ -1,0 +1,291 @@
+"""Triangle setup + tile binning (jax.numpy) for the TPU rasterizer.
+
+The reference rasterizes with Vulkan fixed-function hardware
+(mo_renderpass/src/gbuffer_pass.rs:349-368: back-face cull, LessOrEqual
+depth).  On TPU we re-derive the same semantics as data-parallel math:
+
+1. ``triangle_setup``: clip-space vertices -> per-triangle screen-space edge
+   equations, depth plane, bbox, validity.  Conventions match Vulkan:
+   viewport maps NDC [-1,1] to pixels with y down (the projection already
+   carries the Y flip), depth range [0,1], pixel centers at +0.5, top-left
+   fill rule, front face = counter-clockwise in y-down screen space
+   (negative signed area here), LessOrEqual depth with later-draw-wins.
+
+2. ``bin_triangles``: triangles -> per-tile contiguous runs.  Each triangle
+   emits up to MAX_TILES_PER_TRI (tile, tri) pairs; a stable sort by tile
+   compacts them into runs the Pallas kernel DMAs sequentially (fully
+   coherent loads, every loaded triangle is relevant to its tile).
+   Triangles spanning more tiles than the cap go to a small global list
+   that stays resident in VMEM and is tested by every tile.
+
+All shapes are static; capacities come from EngineConfig.  Overflow clamps
+and is reported via the returned ``overflow`` scalar (0 = none).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+# tri_data column layout (16 f32 per triangle, see rasterizer kernel)
+COL_A0, COL_A1, COL_A2 = 0, 1, 2
+COL_B0, COL_B1, COL_B2 = 3, 4, 5
+COL_C0, COL_C1, COL_C2 = 6, 7, 8
+COL_Z0, COL_Z1, COL_Z2 = 9, 10, 11
+COL_INV_AREA = 12
+COL_TIE = 13
+COL_TRI_ID = 14
+COL_VALID = 15
+TRI_STRIDE = 16
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class TriangleSetup:
+    tri_data: jnp.ndarray  # (T, 16) f32
+    bbox: jnp.ndarray  # (T, 4) int32: x0, y0, x1, y1 inclusive; empty if x0 > x1
+
+    def tree_flatten(self):
+        return (self.tri_data, self.bbox), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class BinnedTriangles:
+    """Per-tile triangle runs + global (huge-triangle) list."""
+
+    binned_data: jnp.ndarray  # (P_max, 16) f32, sorted by tile
+    tile_start: jnp.ndarray  # (n_tiles,) int32
+    tile_count: jnp.ndarray  # (n_tiles,) int32
+    global_data: jnp.ndarray  # (G_max, 16) f32
+    global_count: jnp.ndarray  # () int32
+    overflow: jnp.ndarray  # () int32: #pairs dropped + #global dropped
+
+    def tree_flatten(self):
+        return (
+            self.binned_data,
+            self.tile_start,
+            self.tile_count,
+            self.global_data,
+            self.global_count,
+            self.overflow,
+        ), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def triangle_setup(
+    clip: jnp.ndarray,
+    indices: jnp.ndarray,
+    tri_valid: jnp.ndarray,
+    width: int,
+    height: int,
+    cull_backface: bool = True,
+    depth_bias_const: float = 0.0,
+    depth_bias_slope: float = 0.0,
+    w_eps: float = 1e-6,
+) -> TriangleSetup:
+    """Build per-triangle raster data from clip positions.
+
+    clip (V, 4) f32; indices (T, 3) int32; tri_valid (T,) bool.
+    Depth bias (shadow pass, shadow_pass.rs:132-140) is folded into the
+    z-plane: z_i += const * 2^-23 + slope * max(|dz/dx|, |dz/dy|).
+    Near-plane handling is cull (not clip): triangles with any w <= w_eps
+    are dropped — scenes must keep geometry in front of the camera plane.
+    """
+    i0, i1, i2 = indices[:, 0], indices[:, 1], indices[:, 2]
+    v0 = jnp.take(clip, i0, axis=0)
+    v1 = jnp.take(clip, i1, axis=0)
+    v2 = jnp.take(clip, i2, axis=0)
+
+    w0, w1, w2 = v0[:, 3], v1[:, 3], v2[:, 3]
+    w_ok = (w0 > w_eps) & (w1 > w_eps) & (w2 > w_eps)
+    safe_w = lambda w: jnp.where(w > w_eps, w, 1.0)
+
+    def to_screen(v, w):
+        inv = 1.0 / safe_w(w)
+        sx = (v[:, 0] * inv + 1.0) * (0.5 * width)
+        sy = (v[:, 1] * inv + 1.0) * (0.5 * height)
+        z = v[:, 2] * inv
+        return sx, sy, z
+
+    x0, y0, z0 = to_screen(v0, w0)
+    x1, y1, z1 = to_screen(v1, w1)
+    x2, y2, z2 = to_screen(v2, w2)
+
+    # signed area*2 in y-down screen coords; front face (glTF CCW after the
+    # projection Y flip) has negative area.
+    area2 = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+    s = jnp.where(area2 >= 0.0, 1.0, -1.0)
+
+    def edge(ax, ay, bx, by):
+        # oriented so that inside the triangle w' = A*px + B*py + C >= 0
+        a_coef = -s * (by - ay)
+        b_coef = s * (bx - ax)
+        c_coef = s * ((by - ay) * ax - (bx - ax) * ay)
+        # top-left fill rule: ties on the edge count only for top/left edges
+        tie = (a_coef > 0) | ((a_coef == 0) & (b_coef > 0))
+        return a_coef, b_coef, c_coef, tie
+
+    a0c, b0c, c0c, tie0 = edge(x1, y1, x2, y2)
+    a1c, b1c, c1c, tie1 = edge(x2, y2, x0, y0)
+    a2c, b2c, c2c, tie2 = edge(x0, y0, x1, y1)
+
+    abs_area = jnp.abs(area2)
+    inv_area = jnp.where(abs_area > 0, 1.0 / jnp.maximum(abs_area, 1e-30), 0.0)
+
+    valid = tri_valid & w_ok & (abs_area > 0)
+    if cull_backface:
+        valid = valid & (area2 < 0.0)
+
+    # depth bias folded into the z plane (affine in screen space)
+    if depth_bias_const != 0.0 or depth_bias_slope != 0.0:
+        dzdx = (a0c * z0 + a1c * z1 + a2c * z2) * inv_area
+        dzdy = (b0c * z0 + b1c * z1 + b2c * z2) * inv_area
+        bias = depth_bias_const * (2.0**-23) + depth_bias_slope * jnp.maximum(
+            jnp.abs(dzdx), jnp.abs(dzdy)
+        )
+        z0, z1, z2 = z0 + bias, z1 + bias, z2 + bias
+
+    tie_bits = tie0 * 1.0 + tie1 * 2.0 + tie2 * 4.0
+    tri_id = jnp.arange(indices.shape[0], dtype=jnp.float32)
+
+    tri_data = jnp.stack(
+        [
+            a0c, a1c, a2c,
+            b0c, b1c, b2c,
+            c0c, c1c, c2c,
+            z0, z1, z2,
+            inv_area,
+            tie_bits,
+            tri_id,
+            valid.astype(jnp.float32),
+        ],
+        axis=-1,
+    )
+
+    # conservative inclusive pixel bbox of the triangle, clamped to screen
+    min_x = jnp.minimum(jnp.minimum(x0, x1), x2)
+    max_x = jnp.maximum(jnp.maximum(x0, x1), x2)
+    min_y = jnp.minimum(jnp.minimum(y0, y1), y2)
+    max_y = jnp.maximum(jnp.maximum(y0, y1), y2)
+    bx0 = jnp.clip(jnp.floor(min_x - 0.5), 0, width - 1).astype(jnp.int32)
+    bx1 = jnp.clip(jnp.ceil(max_x - 0.5), 0, width - 1).astype(jnp.int32)
+    by0 = jnp.clip(jnp.floor(min_y - 0.5), 0, height - 1).astype(jnp.int32)
+    by1 = jnp.clip(jnp.ceil(max_y - 0.5), 0, height - 1).astype(jnp.int32)
+    # off-screen triangles become empty (x0 > x1)
+    offscreen = (max_x < 0.5) | (min_x > width - 0.5) | (max_y < 0.5) | (min_y > height - 0.5)
+    empty = offscreen | ~valid
+    bx0 = jnp.where(empty, 1, bx0)
+    bx1 = jnp.where(empty, 0, bx1)
+    bbox = jnp.stack([bx0, by0, bx1, by1], axis=-1)
+
+    return TriangleSetup(tri_data=tri_data, bbox=bbox)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "tile_h", "tile_w", "n_tiles_x", "n_tiles_y",
+        "max_tiles_per_tri", "binned_cap", "global_cap",
+    ),
+)
+def bin_triangles(
+    setup: TriangleSetup,
+    *,
+    tile_h: int,
+    tile_w: int,
+    n_tiles_x: int,
+    n_tiles_y: int,
+    max_tiles_per_tri: int = 8,
+    binned_cap: int = 1 << 16,
+    global_cap: int = 512,
+) -> BinnedTriangles:
+    """Compact triangles into per-tile runs via stable sort by tile id."""
+    tri_data, bbox = setup.tri_data, setup.bbox
+    t = tri_data.shape[0]
+    n_tiles = n_tiles_x * n_tiles_y
+    mt = max_tiles_per_tri
+
+    valid = tri_data[:, COL_VALID] > 0
+    nonempty = bbox[:, 0] <= bbox[:, 2]
+    live = valid & nonempty
+
+    tx0 = bbox[:, 0] // tile_w
+    tx1 = bbox[:, 2] // tile_w
+    ty0 = bbox[:, 1] // tile_h
+    ty1 = bbox[:, 3] // tile_h
+    span_x = tx1 - tx0 + 1
+    span_y = ty1 - ty0 + 1
+    span = span_x * span_y
+
+    is_small = live & (span <= mt)
+    is_global = live & (span > mt)
+
+    # enumerate up to mt (tile, tri) pairs per small triangle
+    slot = jnp.arange(mt, dtype=jnp.int32)[None, :]  # (1, mt)
+    sx = tx0[:, None] + slot % span_x[:, None]
+    sy = ty0[:, None] + slot // span_x[:, None]
+    tile_id = sy * n_tiles_x + sx  # (T, mt)
+    pair_ok = is_small[:, None] & (slot < span[:, None])
+    # invalid pairs get key = n_tiles so they sort to the end
+    key = jnp.where(pair_ok, tile_id, n_tiles).reshape(-1)
+    pair_tri = jnp.broadcast_to(
+        jnp.arange(t, dtype=jnp.int32)[:, None], (t, mt)
+    ).reshape(-1)
+
+    # stable sort by tile preserves draw order within a tile
+    key_sorted, tri_sorted = jax.lax.sort((key, pair_tri), num_keys=1, is_stable=True)
+    key_sorted = key_sorted[:binned_cap]
+    tri_sorted = tri_sorted[:binned_cap]
+
+    n_pairs = jnp.sum(pair_ok.astype(jnp.int32))
+    pair_overflow = jnp.maximum(n_pairs - binned_cap, 0)
+
+    # per-tile [start, count) via binary search over the sorted keys
+    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    tile_start = jnp.searchsorted(key_sorted, tile_ids, side="left").astype(jnp.int32)
+    tile_end = jnp.searchsorted(key_sorted, tile_ids, side="right").astype(jnp.int32)
+    tile_count = tile_end - tile_start
+
+    binned_data = jnp.take(tri_data, tri_sorted, axis=0)
+    # pairs past the valid range must be inert in the kernel
+    binned_data = jnp.where(
+        (key_sorted < n_tiles)[:, None], binned_data, 0.0
+    )
+
+    # global list: compact huge triangles to the front, pad to global_cap
+    g_order = jnp.argsort(~is_global, stable=True)  # True (global) first
+    g_take = g_order[:global_cap]
+    global_data = jnp.take(tri_data, g_take, axis=0)
+    g_is = jnp.take(is_global, g_take)
+    global_data = jnp.where(g_is[:, None], global_data, 0.0)
+    if global_data.shape[0] < global_cap:
+        global_data = jnp.concatenate(
+            [
+                global_data,
+                jnp.zeros((global_cap - global_data.shape[0], TRI_STRIDE), jnp.float32),
+            ],
+            axis=0,
+        )
+    n_global = jnp.sum(is_global.astype(jnp.int32))
+    global_overflow = jnp.maximum(n_global - global_cap, 0)
+    global_count = jnp.minimum(n_global, global_cap)
+
+    return BinnedTriangles(
+        binned_data=binned_data,
+        tile_start=tile_start,
+        tile_count=tile_count,
+        global_data=global_data,
+        global_count=global_count,
+        overflow=pair_overflow + global_overflow,
+    )

@@ -1,0 +1,191 @@
+"""Rasterizer tests: Pallas tile kernel vs the jnp oracle, fill-rule and
+depth-order semantics."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mo_renderer_tpu.kernels.raster_reference import rasterize_reference
+from mo_renderer_tpu.kernels.raster_setup import bin_triangles, triangle_setup
+from mo_renderer_tpu.kernels.rasterizer import rasterize
+
+W, H = 256, 64  # 2x4 tiles at (16, 128)
+
+
+def clip_from_screen(pts, z):
+    """Build clip coords (w=1) from pixel coords for direct raster tests."""
+    pts = np.asarray(pts, np.float32)
+    ndc_x = pts[:, 0] / W * 2.0 - 1.0
+    ndc_y = pts[:, 1] / H * 2.0 - 1.0
+    return np.stack(
+        [ndc_x, ndc_y, np.asarray(z, np.float32), np.ones(len(pts), np.float32)],
+        axis=-1,
+    )
+
+
+def run_both(clip, indices, cull=False, mt=8, gcap=64):
+    setup = triangle_setup(
+        jnp.asarray(clip),
+        jnp.asarray(indices, jnp.int32),
+        jnp.ones(len(indices), bool),
+        W, H, cull_backface=cull,
+    )
+    binned = bin_triangles(
+        setup,
+        tile_h=16, tile_w=128, n_tiles_x=W // 128, n_tiles_y=H // 16,
+        max_tiles_per_tri=mt, binned_cap=2048, global_cap=gcap,
+    )
+    tri_p, z_p, b0_p, b1_p = rasterize(binned, width=W, height=H)
+    tri_r, z_r, b0_r, b1_r = rasterize_reference(setup, W, H)
+    return (tri_p, z_p, b0_p, b1_p), (tri_r, z_r, b0_r, b1_r), binned
+
+
+def test_single_triangle_coverage():
+    clip = clip_from_screen([[20, 10], [120, 10], [20, 50]], [0.5, 0.5, 0.5])
+    (tri_p, z_p, _, _), (tri_r, z_r, _, _), _ = run_both(clip, [[0, 1, 2]])
+    np.testing.assert_array_equal(np.asarray(tri_p), np.asarray(tri_r))
+    covered = np.asarray(tri_r) == 0
+    assert covered.sum() > 1000  # ~half of 100x40 bbox
+    np.testing.assert_allclose(
+        np.asarray(z_p)[covered], np.asarray(z_r)[covered], atol=1e-6
+    )
+    # interior pixel well inside
+    assert np.asarray(tri_p)[15, 40] == 0
+    assert np.asarray(tri_p)[5, 200] == -1
+
+
+def test_shared_edge_no_double_coverage():
+    """Two triangles of a split quad: every quad pixel covered exactly once
+    (top-left fill rule), no cracks, no double hits."""
+    quad = [[32, 8], [96, 8], [96, 40], [32, 40]]
+    clip = clip_from_screen(quad, [0.5] * 4)
+    idx = [[0, 1, 2], [0, 2, 3]]
+    setup = triangle_setup(
+        jnp.asarray(clip), jnp.asarray(idx, jnp.int32), jnp.ones(2, bool),
+        W, H, cull_backface=False,
+    )
+    # count coverage per pixel by rasterizing each triangle alone
+    covers = []
+    for k in range(2):
+        s1 = triangle_setup(
+            jnp.asarray(clip), jnp.asarray([idx[k]], jnp.int32),
+            jnp.ones(1, bool), W, H, cull_backface=False,
+        )
+        t, _, _, _ = rasterize_reference(s1, W, H)
+        covers.append(np.asarray(t) == 0)
+    total = covers[0].astype(int) + covers[1].astype(int)
+    assert total.max() == 1, "double coverage on shared edge"
+    # interior of the quad (pixel centers strictly inside) fully covered
+    interior = np.zeros((H, W), bool)
+    interior[9:39, 33:95] = True
+    assert np.all(total[interior] == 1), "crack inside the quad"
+
+
+def test_depth_lessequal_later_wins():
+    # two identical triangles, same depth: later one wins
+    pts = [[10, 10], [100, 10], [10, 50]]
+    clip = np.concatenate(
+        [clip_from_screen(pts, [0.5] * 3), clip_from_screen(pts, [0.5] * 3)]
+    )
+    idx = [[0, 1, 2], [3, 4, 5]]
+    (tri_p, _, _, _), (tri_r, _, _, _), _ = run_both(clip, idx)
+    covered = np.asarray(tri_r) >= 0
+    assert np.all(np.asarray(tri_r)[covered] == 1)
+    np.testing.assert_array_equal(np.asarray(tri_p), np.asarray(tri_r))
+
+    # closer first triangle occludes
+    clip2 = np.concatenate(
+        [clip_from_screen(pts, [0.2] * 3), clip_from_screen(pts, [0.5] * 3)]
+    )
+    (tri_p2, z_p2, _, _), (tri_r2, _, _, _), _ = run_both(clip2, idx)
+    covered = np.asarray(tri_r2) >= 0
+    assert np.all(np.asarray(tri_r2)[covered] == 0)
+    np.testing.assert_array_equal(np.asarray(tri_p2), np.asarray(tri_r2))
+    assert np.allclose(np.asarray(z_p2)[covered], 0.2, atol=1e-6)
+
+
+def test_backface_cull():
+    pts = [[10, 10], [100, 10], [10, 50]]
+    clip = clip_from_screen(pts, [0.5] * 3)
+    # winding [0,1,2] in y-down screen space: check cull removes one of the
+    # two orientations and keeps the other
+    s_a = triangle_setup(
+        jnp.asarray(clip), jnp.asarray([[0, 1, 2]], jnp.int32),
+        jnp.ones(1, bool), W, H, cull_backface=True,
+    )
+    s_b = triangle_setup(
+        jnp.asarray(clip), jnp.asarray([[0, 2, 1]], jnp.int32),
+        jnp.ones(1, bool), W, H, cull_backface=True,
+    )
+    t_a, _, _, _ = rasterize_reference(s_a, W, H)
+    t_b, _, _, _ = rasterize_reference(s_b, W, H)
+    cov_a = (np.asarray(t_a) == 0).sum()
+    cov_b = (np.asarray(t_b) == 0).sum()
+    assert (cov_a == 0) != (cov_b == 0), "exactly one winding must be culled"
+
+
+def test_random_soup_pallas_matches_oracle():
+    rng = np.random.RandomState(42)
+    n_tri = 50
+    pts = rng.uniform([0, 0], [W, H], size=(n_tri * 3, 2)).astype(np.float32)
+    z = rng.uniform(0.05, 0.95, size=n_tri * 3).astype(np.float32)
+    clip = clip_from_screen(pts, z)
+    idx = np.arange(n_tri * 3, dtype=np.int32).reshape(n_tri, 3)
+    (tri_p, z_p, b0_p, b1_p), (tri_r, z_r, b0_r, b1_r), binned = run_both(
+        clip, idx, mt=8, gcap=64
+    )
+    assert int(binned.overflow) == 0
+    np.testing.assert_array_equal(np.asarray(tri_p), np.asarray(tri_r))
+    np.testing.assert_allclose(np.asarray(z_p), np.asarray(z_r), atol=1e-6)
+    cov = np.asarray(tri_r) >= 0
+    assert cov.sum() > 100
+    np.testing.assert_allclose(
+        np.asarray(b0_p)[cov], np.asarray(b0_r)[cov], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(b1_p)[cov], np.asarray(b1_r)[cov], atol=1e-6
+    )
+
+
+def test_huge_triangle_global_list():
+    """A screen-covering triangle must route through the global list."""
+    clip = clip_from_screen(
+        [[-10, -10], [3 * W, -10], [-10, 3 * H]], [0.3] * 3
+    )
+    (tri_p, z_p, _, _), (tri_r, z_r, _, _), binned = run_both(
+        clip, [[0, 1, 2]], mt=2, gcap=64
+    )
+    assert int(binned.global_count) == 1
+    np.testing.assert_array_equal(np.asarray(tri_p), np.asarray(tri_r))
+    assert np.all(np.asarray(tri_r) == 0)  # full coverage
+    np.testing.assert_allclose(np.asarray(z_p), 0.3, atol=1e-6)
+
+
+def test_perspective_w_division():
+    """Triangles with varying w: depth must be NDC z/w interpolated in
+    screen space."""
+    clip = np.array(
+        [
+            [-0.5 * 2, -0.5 * 2, 0.4 * 2, 2.0],
+            [0.9, -0.5, 0.45, 1.0],
+            [-0.5 * 0.5, 0.9 * 0.5, 0.25 * 0.5, 0.5],
+        ],
+        np.float32,
+    )
+    (tri_p, z_p, _, _), (tri_r, z_r, _, _), _ = run_both(clip, [[0, 1, 2]])
+    np.testing.assert_array_equal(np.asarray(tri_p), np.asarray(tri_r))
+    cov = np.asarray(tri_r) >= 0
+    assert cov.sum() > 50
+    zs = np.asarray(z_r)[cov]
+    assert zs.min() >= 0.2 - 1e-4 and zs.max() <= 0.5 + 1e-4
+
+
+def test_behind_camera_culled():
+    clip = clip_from_screen([[10, 10], [100, 10], [10, 50]], [0.5] * 3)
+    clip[1, 3] = -0.5  # one vertex behind the camera plane
+    setup = triangle_setup(
+        jnp.asarray(clip), jnp.asarray([[0, 1, 2]], jnp.int32),
+        jnp.ones(1, bool), W, H, cull_backface=False,
+    )
+    t, _, _, _ = rasterize_reference(setup, W, H)
+    assert np.all(np.asarray(t) == -1)
