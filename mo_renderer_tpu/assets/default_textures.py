@@ -36,7 +36,7 @@ class DefaultTextures:
         self.white = load("white_texture.png", [255, 255, 255, 255])
         self.flat_normal = load("flat_normal_map.png", [128, 128, 255, 255])
         self.metallic_roughness = load(
-            "default_metallic_roughness.png", [0, 255, 0, 255]
+            "default_metallic_roughness.png", [255, 255, 0, 255]
         )
         self.checker = load("checker.jpg", [200, 200, 200, 255])
         self.black = load("default_black.png", [0, 0, 0, 255])

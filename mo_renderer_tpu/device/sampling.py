@@ -107,9 +107,13 @@ def sample_array_bilinear(tex_array, layer, uv, mode: int = CLAMP_TO_EDGE):
     y1w = wrap_index(y0i + 1, h, mode)
     flat = tex_array.reshape(n_layers * h * w, c)
     base = layer.astype(jnp.int32) * (h * w)
+    is_unorm8 = tex_array.dtype == jnp.uint8
 
     def tap(iy, ix):
-        return jnp.take(flat, base + iy * w + ix, axis=0)
+        v = jnp.take(flat, base + iy * w + ix, axis=0)
+        if is_unorm8:
+            v = v.astype(jnp.float32) * (1.0 / 255.0)
+        return v
 
     t00 = tap(y0w, x0w)
     t10 = tap(y0w, x1w)
@@ -198,6 +202,10 @@ def sample_cubemap(faces, dirs):
     return top * (1 - fy) + bot * fy
 
 
+import jax
+
+
+@jax.tree_util.register_pytree_node_class
 class MipCube:
     """A cubemap mip chain packed into one flat texel buffer.
 
@@ -207,8 +215,14 @@ class MipCube:
     gathers — no per-mip branches under jit.
     """
 
-    def __init__(self, mips):
+    def __init__(self, mips=None, _data=None, _sizes=None, _offsets=None):
         """mips: list of (6, S, S, C) arrays, S halving each level."""
+        if mips is None:
+            self.data = _data
+            self.sizes = np.asarray(_sizes, np.int32)
+            self.offsets = np.asarray(_offsets, np.int32)
+            self.num_levels = len(self.sizes)
+            return
         self.num_levels = len(mips)
         self.sizes = np.array([m.shape[1] for m in mips], dtype=np.int32)
         offs = np.zeros(len(mips), dtype=np.int32)
@@ -227,7 +241,12 @@ class MipCube:
         return self.data[o : o + 6 * s * s].reshape(6, s, s, c)
 
     def tree_flatten(self):
-        return (self.data,), (self.num_levels, self.sizes.tobytes(), self.offsets.tobytes())
+        return (self.data,), (tuple(self.sizes.tolist()), tuple(self.offsets.tolist()))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        sizes, offsets = aux
+        return cls(_data=children[0], _sizes=sizes, _offsets=offsets)
 
 
 def _sample_mipcube_level(data, sizes, offsets, level, face, u, v):

@@ -1,0 +1,192 @@
+"""FrameGraph/Renderer — composes every render pass into ONE jitted frame.
+
+The reference records its five passes into one Vulkan command buffer per
+frame (mo_core/src/application/mod.rs:242-249).  The TPU-native equivalent
+is a single XLA program: shadow raster -> G-buffer raster -> attribute/
+texture pass -> SSAO -> deferred shading + skybox -> present, fused by jit
+with zero host round-trips (BASELINE.json north_star).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EngineConfig
+from ..kernels.raster_setup import bin_triangles, triangle_setup
+from ..kernels.rasterizer import rasterize
+from ..scene.camera import Camera
+from ..scene.scene_buffers import find_shadow_light, pack_scene
+from .gbuffer import gbuffer_pass
+from .present import present_pass
+from .shading import shading_pass
+from .ssao import ssao_pass
+from .vertex_stage import run_vertex_stage
+
+logger = logging.getLogger("mo_renderer_tpu")
+
+
+class RenderPass:
+    """API-parity base for custom passes (RenderPassTrait,
+    mo_renderpass/src/lib.rs:25-48).  Custom passes are pure functions over
+    the frame context dict; they slot in after shading, before present."""
+
+    def render(self, ctx: dict) -> dict:
+        return ctx
+
+    def on_swapchain_recreate(self, window_size) -> None:
+        pass
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+class Renderer:
+    """Owns packed scene + IBL data and the jitted frame function."""
+
+    def __init__(self, config: EngineConfig, extra_passes=()):
+        self.config = config
+        self.extra_passes = list(extra_passes)
+        self.scene = None
+        self.ibl = None
+        self._frame_fn = None
+        # padded framebuffer (tiles must divide the raster target)
+        self.pad_w = _round_up(config.width, config.tile_w)
+        self.pad_h = _round_up(config.height, config.tile_h)
+
+    # --- scene preparation (App::resumed analog) ------------------------
+    def prepare(self, world) -> None:
+        from ..assets.ibl_resource import IBLResource
+
+        self.scene = pack_scene(world, self.config)
+        ibl_res = world.get_resource(IBLResource)
+        if ibl_res is not None:
+            ibl_res.ensure_computed()
+            self.ibl = ibl_res
+        t = int(self.scene.indices.shape[0])
+        self._binned_cap = _round_up(min(max(8192, 4 * t), 1 << 20), 8)
+        self._frame_fn = self._build_frame_fn()
+        logger.info(
+            "renderer prepared: %d tris, %d verts, fb %dx%d (pad %dx%d)",
+            t, int(self.scene.position.shape[0]),
+            self.config.width, self.config.height, self.pad_w, self.pad_h,
+        )
+
+    # --- the jitted frame ----------------------------------------------
+    def _build_frame_fn(self):
+        cfg = self.config
+        pad_w, pad_h = self.pad_w, self.pad_h
+        use_ssao = cfg.ssao_enabled
+        use_shadow = cfg.shadow_enabled
+        has_ibl = self.ibl is not None
+        binned_cap = self._binned_cap
+        smap = cfg.shadow_map_size
+
+        @functools.partial(jax.jit, static_argnames=("has_shadow_light",))
+        def frame(scene, ibl, params, has_shadow_light):
+            vs = run_vertex_stage(
+                scene,
+                params["proj_view"],
+                params["prev_proj_view"],
+                params["light_proj_view"],
+            )
+
+            # --- shadow pass (depth-only raster from the light) ---------
+            shadow_map = None
+            if use_shadow and has_shadow_light:
+                s_setup = triangle_setup(
+                    vs.shadow_clip, scene.indices, scene.tri_valid,
+                    smap, smap,
+                    cull_backface=False,  # shadow_pass.rs:132-140 CullMode::None
+                    depth_bias_const=cfg.shadow_depth_bias_const,
+                    depth_bias_slope=cfg.shadow_depth_bias_slope,
+                )
+                s_binned = bin_triangles(
+                    s_setup,
+                    tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+                    n_tiles_x=smap // cfg.tile_w,
+                    n_tiles_y=smap // cfg.tile_h,
+                    max_tiles_per_tri=8,
+                    binned_cap=binned_cap,
+                    global_cap=512,
+                )
+                _, shadow_map, _, _ = rasterize(
+                    s_binned, width=smap, height=smap,
+                    tile_h=cfg.tile_h, tile_w=cfg.tile_w, depth_only=True,
+                )
+
+            # --- G-buffer raster + attribute/texture pass ---------------
+            setup = triangle_setup(
+                vs.clip, scene.indices, scene.tri_valid, pad_w, pad_h,
+                cull_backface=True,  # gbuffer_pass.rs:350
+            )
+            binned = bin_triangles(
+                setup,
+                tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+                n_tiles_x=pad_w // cfg.tile_w,
+                n_tiles_y=pad_h // cfg.tile_h,
+                max_tiles_per_tri=8,
+                binned_cap=binned_cap,
+                global_cap=512,
+            )
+            tri, z, b0, b1 = rasterize(
+                binned, width=pad_w, height=pad_h,
+                tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+            )
+            gbuf = gbuffer_pass(tri, z, b0, b1, scene, vs)
+
+            # --- SSAO ----------------------------------------------------
+            if use_ssao:
+                ssao = ssao_pass(gbuf.depth)
+            else:
+                ssao = jnp.ones_like(gbuf.depth)
+
+            # --- shading + skybox + tonemap -----------------------------
+            color = shading_pass(
+                gbuf, ssao, shadow_map, scene.lights, scene.num_lights,
+                params, ibl=ibl,
+            )
+
+            ctx = {"color": color, "gbuffer": gbuf, "ssao": ssao}
+            for p in self.extra_passes:
+                ctx = p.render(ctx)
+
+            rgba = present_pass(ctx["color"])
+            # crop padding back to the configured size
+            return rgba[: cfg.height, : cfg.width]
+
+        return frame
+
+    # --- per-frame host side (App frame loop analog) --------------------
+    def frame_params(self, world) -> tuple[dict, bool]:
+        camera: Camera = world.resource(Camera)
+        light_pv, has_light = find_shadow_light(world)
+        proj = camera.projection()
+        near = camera.near_p()
+        near_h = 2.0 * near * np.tan(camera.fov() / 2.0)
+        near_w = camera.aspect() * near_h
+        params = {
+            "proj_view": jnp.asarray(proj @ camera.view()),
+            "prev_proj_view": jnp.asarray(proj @ camera.prev_view()),
+            "light_proj_view": jnp.asarray(light_pv),
+            "eye_pos": jnp.asarray(camera.position()),
+            "direction": jnp.asarray(camera.direction()),
+            "right": jnp.asarray(camera.right()),
+            "up": jnp.asarray(camera.up()),
+            "near": jnp.asarray(np.float32(near)),
+            "near_wh": jnp.asarray(np.array([near_w, near_h], np.float32)),
+        }
+        return params, has_light
+
+    def render(self, world) -> np.ndarray:
+        params, has_light = self.frame_params(world)
+        ibl_maps = self.ibl.maps() if self.ibl is not None else None
+        rgba = self._frame_fn(
+            self.scene, ibl_maps, params, has_shadow_light=has_light
+        )
+        return np.asarray(rgba)

@@ -1,0 +1,152 @@
+"""G-buffer pass — attribute interpolation + texturing over the visibility
+buffer (the fused equivalent of gbuffer.vert varyings + gbuffer.frag).
+
+The reference's MRT layout (gbuffer_pass.rs:61-129): base_color rgba8,
+position rgba32f, normal rgba16f, emissive rgba16f, ORM rgba8, velocity
+rg32f, depth d32.  Here each target is a float32 array (quantization only
+at output — can only reduce error).  Deviations from the reference, all
+documented:
+
+- ``position`` stores WORLD-space position.  The reference stores
+  model-space (gbuffer.frag:69) which only matches world space for
+  identity transforms (as in the stock pbr_ibl example) and breaks
+  lighting otherwise; with identity transforms the two are equal.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..assets import materials as M
+from ..device import sampling
+from ..kernels.tonemap import srgb_to_linear
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class GBuffer:
+    base_color: jnp.ndarray  # (H, W, 3) linear
+    position: jnp.ndarray  # (H, W, 3) world space
+    normal: jnp.ndarray  # (H, W, 3)
+    emissive: jnp.ndarray  # (H, W, 3)
+    orm: jnp.ndarray  # (H, W, 3) occlusion, roughness, metallic
+    velocity: jnp.ndarray  # (H, W, 2)
+    depth: jnp.ndarray  # (H, W)
+    mask: jnp.ndarray  # (H, W) bool: covered pixels
+
+    def tree_flatten(self):
+        return dataclasses.astuple(self), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def _interp(attr, i0, i1, i2, bb0, bb1, bb2):
+    """Perspective-correct interpolation of a (V, C) attribute."""
+    a0 = jnp.take(attr, i0, axis=0)
+    a1 = jnp.take(attr, i1, axis=0)
+    a2 = jnp.take(attr, i2, axis=0)
+    return a0 * bb0[..., None] + a1 * bb1[..., None] + a2 * bb2[..., None]
+
+
+def _normalize(v, eps=1e-20):
+    return v * jax.lax.rsqrt(jnp.maximum(jnp.sum(v * v, -1, keepdims=True), eps))
+
+
+def gbuffer_pass(tri, z, b0, b1, scene, vs) -> GBuffer:
+    """tri/z/b0/b1: visibility buffer (H, W); scene: SceneBuffers;
+    vs: VertexOutputs."""
+    h, w = tri.shape
+    covered = tri >= 0
+    t = jnp.maximum(tri, 0)
+
+    idx = jnp.take(scene.indices, t, axis=0)  # (H, W, 3)
+    i0, i1, i2 = idx[..., 0], idx[..., 1], idx[..., 2]
+
+    # perspective correction: q_i = b_i / w_i; B_i = q_i / sum(q)
+    iw0 = jnp.take(vs.inv_w, i0, axis=0)
+    iw1 = jnp.take(vs.inv_w, i1, axis=0)
+    iw2 = jnp.take(vs.inv_w, i2, axis=0)
+    b2 = 1.0 - b0 - b1
+    q0 = b0 * iw0
+    q1 = b1 * iw1
+    q2 = b2 * iw2
+    qs = q0 + q1 + q2
+    qs = jnp.where(jnp.abs(qs) > 1e-20, qs, 1.0)
+    bb0, bb1, bb2 = q0 / qs, q1 / qs, q2 / qs
+
+    world_pos = _interp(vs.world_pos, i0, i1, i2, bb0, bb1, bb2)
+    uv0 = _interp(scene.uv0, i0, i1, i2, bb0, bb1, bb2)
+    uv1 = _interp(scene.uv1, i0, i1, i2, bb0, bb1, bb2)
+    n_in = _interp(vs.world_normal, i0, i1, i2, bb0, bb1, bb2)
+    t_in = _interp(vs.world_tangent, i0, i1, i2, bb0, bb1, bb2)
+    bt_in = _interp(vs.world_bitangent, i0, i1, i2, bb0, bb1, bb2)
+    clip = _interp(vs.clip, i0, i1, i2, bb0, bb1, bb2)
+    prev_clip = _interp(vs.prev_clip, i0, i1, i2, bb0, bb1, bb2)
+    has_tangent = jnp.take(vs.has_tangent, i0, axis=0)  # uniform per mesh
+
+    # material fetch by mesh (bindless.glsl material SSBO analog)
+    mesh_id = jnp.take(scene.tri_mesh, t, axis=0)
+    mat_id = jnp.take(scene.mesh_material, mesh_id, axis=0)
+    mat = jnp.take(scene.materials, mat_id, axis=0)  # (H, W, 24)
+
+    def mat_col(c):
+        return mat[..., c]
+
+    def sample_slot(map_col, uv_col):
+        layer = mat_col(map_col).astype(jnp.int32)
+        uv = jnp.where((mat_col(uv_col) == 0.0)[..., None], uv0, uv1)
+        return sampling.sample_array_bilinear(
+            scene.textures, layer, uv, sampling.REPEAT
+        )
+
+    base_rgba = sample_slot(M.MAT_BASE_COLOR_MAP, M.MAT_BASE_COLOR_UV)
+    normal_map = sample_slot(M.MAT_NORMAL_MAP, M.MAT_NORMAL_UV)
+    mr = sample_slot(M.MAT_MR_MAP, M.MAT_MR_UV)
+    occ = sample_slot(M.MAT_OCCLUSION_MAP, M.MAT_OCCLUSION_UV)
+    emis = sample_slot(M.MAT_EMISSIVE_MAP, M.MAT_EMISSIVE_UV)
+
+    base_factor = mat[..., M.MAT_BASE_COLOR_FACTOR : M.MAT_BASE_COLOR_FACTOR + 4]
+    base_color = srgb_to_linear(base_rgba[..., :3] * base_factor[..., :3])
+
+    metallic = mr[..., 2] * mat_col(M.MAT_METALLIC_FACTOR)
+    roughness = mr[..., 1] * mat_col(M.MAT_ROUGHNESS_FACTOR)
+    occlusion = occ[..., 0]
+
+    emissive_factor = mat[..., M.MAT_EMISSIVE_FACTOR : M.MAT_EMISSIVE_FACTOR + 3]
+    emissive = emis[..., :3] * emissive_factor
+
+    # normal mapping (gbuffer.frag:55-60): TBN only when tangents exist
+    n_geo = _normalize(n_in)
+    n_tex = _normalize(normal_map[..., :3] * 2.0 - 1.0)
+    n_mapped = _normalize(
+        t_in * n_tex[..., 0:1] + bt_in * n_tex[..., 1:2] + n_geo * n_tex[..., 2:3]
+    )
+    normal = jnp.where(has_tangent[..., None], n_mapped, n_geo)
+
+    # velocity (gbuffer.frag:71-79): NDC01 with y flip, cur - prev
+    def ndc01(c):
+        wc = jnp.where(jnp.abs(c[..., 3]) > 1e-20, c[..., 3], 1.0)
+        a = (c[..., :2] / wc[..., None] + 1.0) * 0.5
+        return jnp.stack([a[..., 0], 1.0 - a[..., 1]], axis=-1)
+
+    velocity = ndc01(clip) - ndc01(prev_clip)
+
+    # clear values (gbuffer_pass.rs:482-499): zeros + far depth
+    m3 = covered[..., None]
+    return GBuffer(
+        base_color=jnp.where(m3, base_color, 0.0),
+        position=jnp.where(m3, world_pos, 0.0),
+        normal=jnp.where(m3, normal, 0.0),
+        emissive=jnp.where(m3, emissive, 0.0),
+        orm=jnp.where(
+            m3, jnp.stack([occlusion, roughness, metallic], axis=-1), 0.0
+        ),
+        velocity=jnp.where(m3, velocity, 0.0),
+        depth=z,
+        mask=covered,
+    )

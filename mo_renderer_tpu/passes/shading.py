@@ -1,0 +1,177 @@
+"""Deferred shading + skybox — the fused equivalent of the reference's
+two-subpass shading render pass (shading_pass.rs, shading_pass.frag,
+skybox inline shaders :340-401).
+
+Per pixel: Cook-Torrance sum over lights (pbr.glsl surfaceShading), split-
+sum IBL ambient, 9-tap Poisson PCF shadow with bias 5e-6 and intensity mix
+0.25, ``color = (ambient + Lo*shadow) * ssao + emissive``, Unreal tonemap.
+The skybox fills depth==1 pixels by sampling the environment cubemap along
+the reconstructed near-plane ray (skybox_fs, shading_pass.rs:363-401).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..device import sampling
+from ..kernels import brdf
+from ..kernels.tonemap import tonemap_unreal
+
+# Poisson disk (shading_pass.frag:44-54)
+POISSON = [
+    (-0.94201624, -0.39906216),
+    (0.94558609, -0.76890725),
+    (-0.094184101, -0.92938870),
+    (0.34495938, 0.29387760),
+    (-0.91588581, 0.45771432),
+    (-0.81544232, -0.87912464),
+    (-0.38277543, 0.27676845),
+    (0.97484398, 0.75648379),
+    (0.44323325, -0.97511554),
+]
+SHADOW_BIAS = 0.000005  # shading_pass.frag:67
+SHADOW_INTENSITY = 0.25  # shading_pass.frag:82
+MAX_REFLECTION_LOD = 7.0  # pbr.glsl:262
+
+
+def calculate_shadow(world_pos, light_proj_view, shadow_map):
+    """CalculateShadow (shading_pass.frag:56-84).
+
+    world_pos (H, W, 3); shadow_map (S, S) depth.  Returns (H, W) factor.
+    """
+    p = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], -1)
+    lp = p @ light_proj_view.T
+    wc = jnp.where(jnp.abs(lp[..., 3]) > 1e-20, lp[..., 3], 1.0)
+    proj = lp[..., :3] / wc[..., None]
+    uv = proj[..., :2] * 0.5 + 0.5
+    beyond_far = proj[..., 2] > 1.0
+
+    current = proj[..., 2] - SHADOW_BIAS
+    s = shadow_map.shape[0]
+    texel = 1.0 / s
+    sm = shadow_map[..., None]  # (S, S, 1) for the sampling helpers
+
+    shadow = jnp.zeros_like(current)
+    for dx, dy in POISSON:
+        tap_uv = jnp.stack(
+            [uv[..., 0] + dx * texel, uv[..., 1] + dy * texel], axis=-1
+        )
+        closest = sampling.sample_bilinear(sm, tap_uv, sampling.CLAMP_TO_EDGE)[..., 0]
+        shadow = shadow + (current > closest).astype(jnp.float32)
+    shadow = shadow / len(POISSON)
+    result = (1.0 - shadow) * (1.0 - SHADOW_INTENSITY) + SHADOW_INTENSITY
+    return jnp.where(beyond_far, 1.0, result)
+
+
+def shade_lights(gbuf, lights, num_lights, eye_pos):
+    """Sum surfaceShading over the light table (masked static loop)."""
+    lo = jnp.zeros_like(gbuf.base_color)
+    max_lights = lights.shape[0]
+    for i in range(max_lights):
+        row = lights[i]
+        contrib = brdf.surface_shading(
+            gbuf.position,
+            gbuf.base_color,
+            gbuf.normal,
+            gbuf.orm[..., 2],
+            gbuf.orm[..., 1],
+            row[0],
+            row[4:7],
+            row[8:11],
+            row[12:15],
+            row[16:20],
+            eye_pos,
+            spot_exponent=row[2],
+        )
+        lo = lo + jnp.where(i < num_lights, 1.0, 0.0) * contrib
+    return lo
+
+
+def ibl_ambient(gbuf, eye_pos, ibl):
+    """imageBasedLighting (pbr.glsl:245-271) with our IBL maps.
+
+    ibl: IBLResource-like with .irradiance (6,S,S,3) faces, .specular
+    (MipCube), .brdf_lut (S,S,3).  Returns (H, W, 3).
+    """
+    irradiance = sampling.sample_cubemap(ibl.irradiance_faces, gbuf.normal)[..., :3]
+    r = brdf.ibl_reflection_dir(gbuf.position, gbuf.normal, eye_pos)
+    lod = gbuf.orm[..., 1] * MAX_REFLECTION_LOD
+    prefiltered = sampling.sample_mipcube_lod(ibl.specular_mips, r, lod)[..., :3]
+    v = brdf.normalize(eye_pos - gbuf.position, eps=1e-20)
+    ndotv = jnp.maximum(brdf.dot3(gbuf.normal, v), 0.0)
+    lut_uv = jnp.stack([ndotv, 1.0 - gbuf.orm[..., 1]], axis=-1)
+    lut = sampling.sample_bilinear(
+        ibl.brdf_lut, lut_uv, sampling.CLAMP_TO_EDGE
+    )[..., :2]
+    return brdf.image_based_lighting(
+        gbuf.position,
+        gbuf.base_color,
+        gbuf.normal,
+        gbuf.orm[..., 2],
+        gbuf.orm[..., 1],
+        gbuf.orm[..., 0],
+        eye_pos,
+        irradiance,
+        prefiltered,
+        lut,
+    )
+
+
+def skybox_color(height, width, camera_basis, env_faces):
+    """Skybox ray reconstruction (skybox_fs shading_pass.rs:367-399).
+
+    camera_basis: dict with direction/right/up (3,), near (scalar),
+    near_wh (2,).  Returns (H, W, 3).
+    """
+    v = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
+    u = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
+    y = (v * 2.0 - 1.0)[:, None, None]
+    x = (u * 2.0 - 1.0)[None, :, None]
+    near_w, near_h = camera_basis["near_wh"][0], camera_basis["near_wh"][1]
+    d = (
+        x * (near_w / 2.0) * camera_basis["right"]
+        + y * (near_h / 2.0) * camera_basis["up"]
+        - camera_basis["near"] * camera_basis["direction"]
+    )
+    d = d * jnp.reciprocal(
+        jnp.sqrt(jnp.maximum(jnp.sum(d * d, -1, keepdims=True), 1e-20))
+    )
+    return sampling.sample_cubemap(env_faces, d)[..., :3]
+
+
+def shading_pass(
+    gbuf, ssao, shadow_map, lights, num_lights, params, ibl=None
+):
+    """Full deferred shading to tonemapped color (H, W, 3) in [0,1].
+
+    params: dict with eye_pos (3,), light_proj_view (4,4), camera basis
+    entries for the skybox.  ibl None -> no ambient/sky (flat mode).
+    """
+    eye = params["eye_pos"]
+    lo = shade_lights(gbuf, lights, num_lights, eye)
+
+    if ibl is not None:
+        ambient = ibl_ambient(gbuf, eye, ibl)
+    else:
+        ambient = jnp.zeros_like(lo)
+
+    if shadow_map is not None:
+        shadow = calculate_shadow(
+            gbuf.position, params["light_proj_view"], shadow_map
+        )
+    else:
+        shadow = jnp.ones_like(ssao)
+
+    color = (ambient + lo * shadow[..., None]) * ssao[..., None]
+    color = color + gbuf.emissive
+    color = tonemap_unreal(color)
+
+    if ibl is not None:
+        sky = skybox_color(
+            gbuf.depth.shape[0], gbuf.depth.shape[1], params, ibl.environment_faces
+        )
+        # subpass 1: skybox only where depth == 1 (CompareOp::Equal,
+        # shading_pass.rs:886-892); skybox output is NOT tonemapped
+        # (skybox_fs writes the sample directly)
+        color = jnp.where((gbuf.depth >= 1.0)[..., None], sky, color)
+    return jnp.clip(color, 0.0, 1.0)

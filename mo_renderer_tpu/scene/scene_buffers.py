@@ -1,0 +1,243 @@
+"""Scene packing: World -> static-shape device arrays (SceneBuffers).
+
+The TPU-native replacement for the reference's per-mesh draw recording
+(gbuffer_pass.rs:516-548) and bindless descriptor building
+(gbuffer_pass.rs:205-244, add_model :654-754): all meshes are concatenated
+into one vertex/index soup with per-vertex mesh ids; textures become one
+(L, S, S, 4) texture array; materials one (M, 24) table.  Everything is
+padded to static capacities so the whole frame can live under one jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..assets.default_textures import DefaultTextures
+from ..assets.image_io import resize_rgba
+from ..assets.materials import DEFAULT_TEXTURE_MAP, MATERIAL_STRIDE, pack_material_gpu
+from ..assets.model import Model
+from ..config import EngineConfig
+from ..math.projections import normal_matrix
+from ..math.transform import Transform
+from .components import DirectionalLight, PointLight, SpotLight
+
+GPU_LIGHT_STRIDE = 20
+
+
+def _pad_rows(a: np.ndarray, n: int):
+    if a.shape[0] > n:
+        raise ValueError(
+            f"capacity overflow: need {a.shape[0]} rows, capacity {n} "
+            "(raise EngineConfig limits)"
+        )
+    if a.shape[0] == n:
+        return a
+    pad = np.zeros((n - a.shape[0],) + a.shape[1:], dtype=a.dtype)
+    return np.concatenate([a, pad], axis=0)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class SceneBuffers:
+    """Static-shape scene arrays (a pytree; leaves are device arrays)."""
+
+    # vertex SoA (V_pad)
+    position: jnp.ndarray  # (V, 3) f32 model-space
+    normal: jnp.ndarray  # (V, 3) f32 model-space
+    color: jnp.ndarray  # (V, 4)
+    uv0: jnp.ndarray  # (V, 2)
+    uv1: jnp.ndarray  # (V, 2)
+    tangent: jnp.ndarray  # (V, 4) (w = handedness, all-zero = none)
+    vertex_mesh: jnp.ndarray  # (V,) int32
+
+    # triangles (T_pad)
+    indices: jnp.ndarray  # (T, 3) int32 (global vertex ids)
+    tri_valid: jnp.ndarray  # (T,) bool
+    tri_mesh: jnp.ndarray  # (T,) int32
+
+    # per-mesh (M_pad)
+    mesh_world: jnp.ndarray  # (M, 4, 4)
+    mesh_normal_mat: jnp.ndarray  # (M, 3, 3)
+    mesh_material: jnp.ndarray  # (M,) int32
+
+    # materials + textures
+    materials: jnp.ndarray  # (MAT, MATERIAL_STRIDE) f32
+    textures: jnp.ndarray  # (L, S, S, 4) uint8
+
+    # lights
+    lights: jnp.ndarray  # (max_lights, 20) f32 GpuLight rows
+    num_lights: jnp.ndarray  # () int32
+
+    def tree_flatten(self):
+        return dataclasses.astuple(self), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def pack_scene(world, config: EngineConfig) -> SceneBuffers:
+    """Walk the world and build SceneBuffers (host-side numpy, one-time)."""
+    positions, normals, colors, uv0s, uv1s, tangents, vmesh = (
+        [], [], [], [], [], [], []
+    )
+    tri_indices, tri_mesh = [], []
+    mesh_worlds, mesh_normals, mesh_materials = [], [], []
+    material_rows = []
+    texture_images: list[np.ndarray] = []
+
+    defaults = world.get_resource(DefaultTextures)
+    if defaults is None:
+        defaults = DefaultTextures(config.resource_root)
+
+    # default layers mirror create_defaults + add_model fallbacks
+    # (gbuffer_pass.rs:654-754): base->white, normal->flat, mr->default MR,
+    # occlusion->white, emissive->black
+    def add_texture(img: np.ndarray) -> int:
+        texture_images.append(img)
+        return len(texture_images) - 1
+
+    layer_white = add_texture(defaults.white)
+    layer_flat_normal = add_texture(defaults.flat_normal)
+    layer_default_mr = add_texture(defaults.metallic_roughness)
+    layer_black = add_texture(defaults.black)
+
+    default_layer = {
+        "base": layer_white,
+        "normal": layer_flat_normal,
+        "mr": layer_default_mr,
+        "occlusion": layer_white,
+        "emissive": layer_black,
+    }
+
+    vtx_offset = 0
+    for transform, model in world.query(Transform, Model):
+        entity_world = transform.model_matrix()
+        model_layer: dict[int, int] = {}
+
+        def resolve(tex_idx: int, slot: str) -> int:
+            if tex_idx == DEFAULT_TEXTURE_MAP:
+                return default_layer[slot]
+            if tex_idx not in model_layer:
+                model_layer[tex_idx] = add_texture(model.textures[tex_idx])
+            return model_layer[tex_idx]
+
+        for mesh in model.meshes:
+            mesh_id = len(mesh_worlds)
+            world_mat = (entity_world @ mesh.world).astype(np.float32)
+            mesh_worlds.append(world_mat)
+            mesh_normals.append(normal_matrix(world_mat))
+
+            mat = mesh.material
+            row = pack_material_gpu(
+                mat,
+                resolve(mat.base_color_texture, "base"),
+                resolve(mat.normal_texture, "normal"),
+                resolve(mat.surface_properties_texture, "mr"),
+                resolve(mat.occlusion_texture, "occlusion"),
+                resolve(mat.emissive_texture, "emissive"),
+            )
+            mesh.gpu_mat_index = len(material_rows)
+            mesh_materials.append(mesh.gpu_mat_index)
+            material_rows.append(row)
+
+            prim = mesh.primitive
+            n = prim.num_vertices
+            positions.append(prim.position[:, :3])
+            normals.append(prim.normal[:, :3])
+            colors.append(prim.color)
+            uv0s.append(prim.uv0)
+            uv1s.append(prim.uv1)
+            tangents.append(prim.tangent)
+            vmesh.append(np.full(n, mesh_id, np.int32))
+
+            tri = prim.indices.reshape(-1, 3).astype(np.int32) + vtx_offset
+            tri_indices.append(tri)
+            tri_mesh.append(np.full(len(tri), mesh_id, np.int32))
+            vtx_offset += n
+
+    if vtx_offset == 0:
+        raise ValueError("pack_scene: no (Transform, Model) entities in world")
+
+    v_cat = lambda parts: np.concatenate(parts, axis=0)
+    position = v_cat(positions).astype(np.float32)
+    v_count = position.shape[0]
+    t_all = v_cat(tri_indices)
+    t_count = t_all.shape[0]
+
+    v_pad = min(_round_up(v_count, 1024), config.max_vertices)
+    t_pad = min(_round_up(t_count, 1024), config.max_triangles)
+    if v_count > config.max_vertices or t_count > config.max_triangles:
+        raise ValueError(
+            f"scene too large: {v_count} verts / {t_count} tris exceed config caps"
+        )
+
+    tri_valid = np.zeros(t_pad, bool)
+    tri_valid[:t_count] = True
+
+    m_count = len(mesh_worlds)
+    m_pad = _round_up(max(m_count, 1), 64)
+    mat_pad = _round_up(max(len(material_rows), 1), 64)
+
+    # texture array: resize every layer to one size
+    s = config.texture_array_size
+    layers = [resize_rgba(img, s) for img in texture_images]
+    tex_array = np.stack(layers).astype(np.uint8)
+
+    # lights (shading_pass.rs:653-719 packing order: world iteration order)
+    light_rows = []
+    for comp_type in (DirectionalLight, PointLight, SpotLight):
+        for light in world.query(comp_type):
+            light_rows.append(light.gpu_light())
+    if len(light_rows) > config.max_lights:
+        raise ValueError(f"too many lights ({len(light_rows)})")
+    lights = np.zeros((config.max_lights, GPU_LIGHT_STRIDE), np.float32)
+    for i, row in enumerate(light_rows):
+        lights[i] = row
+
+    as_j = jnp.asarray
+    return SceneBuffers(
+        position=as_j(_pad_rows(position, v_pad)),
+        normal=as_j(_pad_rows(v_cat(normals).astype(np.float32), v_pad)),
+        color=as_j(_pad_rows(v_cat(colors).astype(np.float32), v_pad)),
+        uv0=as_j(_pad_rows(v_cat(uv0s).astype(np.float32), v_pad)),
+        uv1=as_j(_pad_rows(v_cat(uv1s).astype(np.float32), v_pad)),
+        tangent=as_j(_pad_rows(v_cat(tangents).astype(np.float32), v_pad)),
+        vertex_mesh=as_j(_pad_rows(v_cat(vmesh), v_pad)),
+        indices=as_j(_pad_rows(t_all, t_pad)),
+        tri_valid=as_j(tri_valid),
+        tri_mesh=as_j(_pad_rows(v_cat(tri_mesh), t_pad)),
+        mesh_world=as_j(_pad_rows(np.stack(mesh_worlds), m_pad)),
+        mesh_normal_mat=as_j(_pad_rows(np.stack(mesh_normals), m_pad)),
+        mesh_material=as_j(
+            _pad_rows(np.asarray(mesh_materials, np.int32), m_pad)
+        ),
+        materials=as_j(
+            _pad_rows(
+                np.stack(material_rows).astype(np.float32)
+                if material_rows
+                else np.zeros((1, MATERIAL_STRIDE), np.float32),
+                mat_pad,
+            )
+        ),
+        textures=as_j(tex_array),
+        lights=as_j(lights),
+        num_lights=jnp.asarray(len(light_rows), jnp.int32),
+    )
+
+
+def find_shadow_light(world):
+    """First shadow-casting DirectionalLight (shadow_pass.rs:197-206,
+    shading_pass.rs:188-198); returns (proj_view, found)."""
+    for light in world.query(DirectionalLight):
+        if light.is_shadow_caster:
+            return light.proj_view(), True
+    return np.eye(4, dtype=np.float32), False
