@@ -91,7 +91,7 @@ def _process_rows(rows, px, py, state, depth_only: bool):
 
 def _make_kernel(tile_h, tile_w, n_tiles_x, global_cap, depth_only):
     def kernel(
-        runs_ref,  # SMEM (n_tiles, 2): [start, count] per tile, resident
+        runs_ref,  # SMEM (2, n_tiles): rows [starts; counts], resident
         gcount_ref,  # SMEM (1, 1)
         gdata_ref,  # VMEM (G, 16)
         hbm_ref,  # ANY/HBM (P+K, 16)
@@ -142,8 +142,8 @@ def _make_kernel(tile_h, tile_w, n_tiles_x, global_cap, depth_only):
             write_state(st)
 
         # --- per-tile run with double-buffered DMA ----------------------
-        start = runs_ref[i, 0]
-        count = runs_ref[i, 1]
+        start = runs_ref[0, i]
+        count = runs_ref[1, i]
         nb = pl.cdiv(count, SUB_K)
 
         def get_dma(slot, j):
@@ -207,8 +207,8 @@ def rasterize(
         axis=0,
     )
     global_data = pad_rows(binned.global_data)
-    # SMEM wants whole-array residency: pack [start, count] rows
-    runs = jnp.stack([binned.tile_start, binned.tile_count], axis=-1)
+    # SMEM rows are padded to 128 lanes: shape (2, n_tiles), not (n_tiles, 2)
+    runs = jnp.stack([binned.tile_start, binned.tile_count], axis=0)
     gcount = jnp.reshape(binned.global_count, (1, 1)).astype(jnp.int32)
 
     kernel = _make_kernel(
@@ -231,7 +231,7 @@ def rasterize(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((n_tiles, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, n_tiles), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 global_data.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
