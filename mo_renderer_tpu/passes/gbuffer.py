@@ -38,7 +38,9 @@ class GBuffer:
     mask: jnp.ndarray  # (H, W) bool: covered pixels
 
     def tree_flatten(self):
-        return dataclasses.astuple(self), None
+        return tuple(
+            getattr(self, f.name) for f in dataclasses.fields(self)
+        ), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):

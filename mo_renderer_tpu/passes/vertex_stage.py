@@ -29,7 +29,9 @@ class VertexOutputs:
     has_tangent: jnp.ndarray  # (V,) bool (model tangent != 0)
 
     def tree_flatten(self):
-        return dataclasses.astuple(self), None
+        return tuple(
+            getattr(self, f.name) for f in dataclasses.fields(self)
+        ), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):

@@ -77,7 +77,9 @@ class SceneBuffers:
     num_lights: jnp.ndarray  # () int32
 
     def tree_flatten(self):
-        return dataclasses.astuple(self), None
+        return tuple(
+            getattr(self, f.name) for f in dataclasses.fields(self)
+        ), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
