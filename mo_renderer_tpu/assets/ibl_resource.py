@@ -74,9 +74,19 @@ class IBLResource:
         self.brdf_lut_size = brdf_lut_size or cfg.ibl_brdf_lut_size
         self.use_cache = cache
         self._maps: IBLMaps | None = None
+        self._equirect: np.ndarray | None = None
         self.hdr_path = os.path.join(
             self.resource_root, "tex", "env", f"{name}.hdr"
         )
+
+    @classmethod
+    def from_equirect(cls, equirect: np.ndarray, **kw) -> "IBLResource":
+        """Environment from an in-memory (H, W, 3+) float equirect panorama
+        instead of a .hdr file (synthetic skies, tests, asset-free runs)."""
+        kw.setdefault("cache", False)
+        res = cls(name="equirect", **kw)
+        res._equirect = np.asarray(equirect, np.float32)
+        return res
 
     # --- compute --------------------------------------------------------
     def ensure_computed(self) -> None:
@@ -88,7 +98,10 @@ class IBLResource:
             logger.info("IBL loaded from cache (%s)", self.name)
             return
 
-        equirect = jnp.asarray(image_io.load_hdr(self.hdr_path))
+        if self._equirect is not None:
+            equirect = jnp.asarray(self._equirect)
+        else:
+            equirect = jnp.asarray(image_io.load_hdr(self.hdr_path))
         logger.info(
             "IBL precompute: env %s %s -> cube %d, irradiance %d, "
             "%d specular mips x %d samples, BRDF LUT %d",

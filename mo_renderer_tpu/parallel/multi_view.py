@@ -1,0 +1,138 @@
+"""Multi-view rendering over a TPU device mesh (data-parallel over cameras).
+
+The reference is single-device by design (SURVEY.md §2.3); the TPU-native
+scale-out axis is *views*: a batch of cameras rendered in parallel across
+chips (BASELINE.json configs[4], "8 cameras across TPU cores").  The scene
+(vertex soup, textures, materials, lights — scene/scene_buffers.py) and IBL
+maps are replicated; per-camera frame params are sharded over the ``views``
+mesh axis, and each device runs the exact same single-view frame program
+(passes/frame_graph.py:frame_program) for its local views.  The output
+image stack is assembled by XLA across ICI — no explicit collectives are
+needed beyond shard_map's output layout.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import EngineConfig
+from ..passes.frame_graph import (
+    Renderer,
+    build_camera_params,
+    frame_program,
+)
+from ..scene.scene_buffers import find_shadow_light, pack_scene
+
+logger = logging.getLogger("mo_renderer_tpu")
+
+
+def make_view_mesh(devices=None, axis_name: str = "views") -> Mesh:
+    """A 1-D device mesh over which camera views are data-parallel."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def stack_params(param_dicts: list[dict]) -> dict:
+    """Stack per-view param dicts into one dict of (V, ...) arrays."""
+    return {
+        k: jnp.stack([p[k] for p in param_dicts])
+        for k in param_dicts[0]
+    }
+
+
+class MultiViewRenderer:
+    """Renders a batch of cameras in one sharded XLA program.
+
+    Scene preparation matches the single-view ``Renderer`` (it reuses its
+    ``prepare``); only the frame function differs: it takes stacked params
+    with a leading view axis laid out over the mesh's ``views`` axis.
+    """
+
+    def __init__(self, config: EngineConfig, mesh: Mesh | None = None):
+        self.config = config
+        self.mesh = mesh if mesh is not None else make_view_mesh()
+        self.axis = self.mesh.axis_names[0]
+        self._inner = Renderer(config)
+        self._frame_fn = None
+
+    @property
+    def scene(self):
+        return self._inner.scene
+
+    @property
+    def ibl(self):
+        return self._inner.ibl
+
+    def prepare(self, world) -> None:
+        self._inner.prepare(world)
+        self._frame_fn = self._build_frame_fn()
+        logger.info(
+            "multi-view renderer: mesh %s over %d devices",
+            dict(zip(self.mesh.axis_names, self.mesh.devices.shape)),
+            self.mesh.devices.size,
+        )
+
+    def _build_frame_fn(self):
+        cfg = self.config
+        inner = self._inner
+        mesh, axis = self.mesh, self.axis
+        n_dev = mesh.devices.size
+
+        def shard_body(scene, ibl, params, has_shadow_light):
+            # Local leading dim = V // n_devices, static at trace time:
+            # render each local view through the identical frame program.
+            v_local = params["proj_view"].shape[0]
+            frames = [
+                frame_program(
+                    scene, ibl,
+                    {k: v[i] for k, v in params.items()},
+                    cfg=cfg, pad_w=inner.pad_w, pad_h=inner.pad_h,
+                    binned_cap=inner._binned_cap,
+                    has_shadow_light=has_shadow_light,
+                )
+                for i in range(v_local)
+            ]
+            return jnp.stack(frames)
+
+        @functools.partial(jax.jit, static_argnames=("has_shadow_light",))
+        def frame(scene, ibl, params, has_shadow_light):
+            body = jax.shard_map(
+                functools.partial(
+                    shard_body, has_shadow_light=has_shadow_light
+                ),
+                mesh=mesh,
+                in_specs=(P(), P(), P(axis)),
+                out_specs=P(axis),
+                check_vma=False,
+            )
+            return body(scene, ibl, params)
+
+        self._n_dev = n_dev
+        return frame
+
+    def render_views(self, cameras, world) -> np.ndarray:
+        """Render one frame per camera; returns (V, H, W, 4) uint8."""
+        if self._frame_fn is None:
+            self.prepare(world)
+        light_pv, has_light = find_shadow_light(world)
+        n_dev = self.mesh.devices.size
+        v = len(cameras)
+        v_pad = ((v + n_dev - 1) // n_dev) * n_dev
+        dicts = [build_camera_params(c, light_pv) for c in cameras]
+        dicts += [dicts[-1]] * (v_pad - v)  # pad to a multiple of the mesh
+        params = stack_params(dicts)
+        params = jax.device_put(
+            params, NamedSharding(self.mesh, P(self.axis))
+        )
+        ibl_maps = self.ibl.maps() if self.ibl is not None else None
+        frames = self._frame_fn(
+            self.scene, ibl_maps, params, has_shadow_light=has_light
+        )
+        return np.asarray(frames)[:v]

@@ -30,6 +30,27 @@ from .vertex_stage import run_vertex_stage
 logger = logging.getLogger("mo_renderer_tpu")
 
 
+def build_camera_params(camera: "Camera", light_proj_view) -> dict:
+    """Per-frame UBO analog (shading_pass.rs:200-214 UBO_view + skybox
+    near-plane basis, shading_pass.rs:363-401): everything the jitted frame
+    needs from one camera, as a flat dict of device arrays."""
+    proj = camera.projection()
+    near = camera.near_p()
+    near_h = 2.0 * near * np.tan(camera.fov() / 2.0)
+    near_w = camera.aspect() * near_h
+    return {
+        "proj_view": jnp.asarray(proj @ camera.view()),
+        "prev_proj_view": jnp.asarray(proj @ camera.prev_view()),
+        "light_proj_view": jnp.asarray(light_proj_view),
+        "eye_pos": jnp.asarray(camera.position()),
+        "direction": jnp.asarray(camera.direction()),
+        "right": jnp.asarray(camera.right()),
+        "up": jnp.asarray(camera.up()),
+        "near": jnp.asarray(np.float32(near)),
+        "near_wh": jnp.asarray(np.array([near_w, near_h], np.float32)),
+    }
+
+
 class RenderPass:
     """API-parity base for custom passes (RenderPassTrait,
     mo_renderpass/src/lib.rs:25-48).  Custom passes are pure functions over
@@ -44,6 +65,102 @@ class RenderPass:
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
+
+
+def frame_program(
+    scene,
+    ibl,
+    params,
+    *,
+    cfg,
+    pad_w,
+    pad_h,
+    binned_cap,
+    has_shadow_light,
+    extra_passes=(),
+):
+    """One full deferred frame as a pure function over pytrees.
+
+    The TPU-native equivalent of the reference's per-frame command buffer
+    through all five passes (mo_core/src/application/mod.rs:242-249):
+    shadow raster -> G-buffer raster -> SSAO -> deferred shading + skybox
+    -> present, traced into ONE XLA program.  Shared by the single-view
+    Renderer and the multi-chip multi-view path (parallel/multi_view.py).
+    """
+    use_ssao = cfg.ssao_enabled
+    use_shadow = cfg.shadow_enabled
+    smap = cfg.shadow_map_size
+
+    vs = run_vertex_stage(
+        scene,
+        params["proj_view"],
+        params["prev_proj_view"],
+        params["light_proj_view"],
+    )
+
+    # --- shadow pass (depth-only raster from the light) ------------------
+    shadow_map = None
+    if use_shadow and has_shadow_light:
+        s_setup = triangle_setup(
+            vs.shadow_clip, scene.indices, scene.tri_valid,
+            smap, smap,
+            cull_backface=False,  # shadow_pass.rs:132-140 CullMode::None
+            depth_bias_const=cfg.shadow_depth_bias_const,
+            depth_bias_slope=cfg.shadow_depth_bias_slope,
+        )
+        s_binned = bin_triangles(
+            s_setup,
+            tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+            n_tiles_x=smap // cfg.tile_w,
+            n_tiles_y=smap // cfg.tile_h,
+            max_tiles_per_tri=8,
+            binned_cap=binned_cap,
+            global_cap=512,
+        )
+        _, shadow_map, _, _ = rasterize(
+            s_binned, width=smap, height=smap,
+            tile_h=cfg.tile_h, tile_w=cfg.tile_w, depth_only=True,
+        )
+
+    # --- G-buffer raster + attribute/texture pass -------------------------
+    setup = triangle_setup(
+        vs.clip, scene.indices, scene.tri_valid, pad_w, pad_h,
+        cull_backface=True,  # gbuffer_pass.rs:350
+    )
+    binned = bin_triangles(
+        setup,
+        tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+        n_tiles_x=pad_w // cfg.tile_w,
+        n_tiles_y=pad_h // cfg.tile_h,
+        max_tiles_per_tri=8,
+        binned_cap=binned_cap,
+        global_cap=512,
+    )
+    tri, z, b0, b1 = rasterize(
+        binned, width=pad_w, height=pad_h,
+        tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+    )
+    gbuf = gbuffer_pass(tri, z, b0, b1, scene, vs)
+
+    # --- SSAO --------------------------------------------------------------
+    if use_ssao:
+        ssao = ssao_pass(gbuf.depth)
+    else:
+        ssao = jnp.ones_like(gbuf.depth)
+
+    # --- shading + skybox + tonemap ---------------------------------------
+    color = shading_pass(
+        gbuf, ssao, shadow_map, scene.lights, scene.num_lights,
+        params, ibl=ibl,
+    )
+
+    ctx = {"color": color, "gbuffer": gbuf, "ssao": ssao}
+    for p in extra_passes:
+        ctx = p.render(ctx)
+
+    rgba = present_pass(ctx["color"])
+    # crop padding back to the configured size
+    return rgba[: cfg.height, : cfg.width]
 
 
 class Renderer:
@@ -81,84 +198,17 @@ class Renderer:
     def _build_frame_fn(self):
         cfg = self.config
         pad_w, pad_h = self.pad_w, self.pad_h
-        use_ssao = cfg.ssao_enabled
-        use_shadow = cfg.shadow_enabled
-        has_ibl = self.ibl is not None
         binned_cap = self._binned_cap
-        smap = cfg.shadow_map_size
+        extra_passes = tuple(self.extra_passes)
 
         @functools.partial(jax.jit, static_argnames=("has_shadow_light",))
         def frame(scene, ibl, params, has_shadow_light):
-            vs = run_vertex_stage(
-                scene,
-                params["proj_view"],
-                params["prev_proj_view"],
-                params["light_proj_view"],
+            return frame_program(
+                scene, ibl, params,
+                cfg=cfg, pad_w=pad_w, pad_h=pad_h, binned_cap=binned_cap,
+                has_shadow_light=has_shadow_light,
+                extra_passes=extra_passes,
             )
-
-            # --- shadow pass (depth-only raster from the light) ---------
-            shadow_map = None
-            if use_shadow and has_shadow_light:
-                s_setup = triangle_setup(
-                    vs.shadow_clip, scene.indices, scene.tri_valid,
-                    smap, smap,
-                    cull_backface=False,  # shadow_pass.rs:132-140 CullMode::None
-                    depth_bias_const=cfg.shadow_depth_bias_const,
-                    depth_bias_slope=cfg.shadow_depth_bias_slope,
-                )
-                s_binned = bin_triangles(
-                    s_setup,
-                    tile_h=cfg.tile_h, tile_w=cfg.tile_w,
-                    n_tiles_x=smap // cfg.tile_w,
-                    n_tiles_y=smap // cfg.tile_h,
-                    max_tiles_per_tri=8,
-                    binned_cap=binned_cap,
-                    global_cap=512,
-                )
-                _, shadow_map, _, _ = rasterize(
-                    s_binned, width=smap, height=smap,
-                    tile_h=cfg.tile_h, tile_w=cfg.tile_w, depth_only=True,
-                )
-
-            # --- G-buffer raster + attribute/texture pass ---------------
-            setup = triangle_setup(
-                vs.clip, scene.indices, scene.tri_valid, pad_w, pad_h,
-                cull_backface=True,  # gbuffer_pass.rs:350
-            )
-            binned = bin_triangles(
-                setup,
-                tile_h=cfg.tile_h, tile_w=cfg.tile_w,
-                n_tiles_x=pad_w // cfg.tile_w,
-                n_tiles_y=pad_h // cfg.tile_h,
-                max_tiles_per_tri=8,
-                binned_cap=binned_cap,
-                global_cap=512,
-            )
-            tri, z, b0, b1 = rasterize(
-                binned, width=pad_w, height=pad_h,
-                tile_h=cfg.tile_h, tile_w=cfg.tile_w,
-            )
-            gbuf = gbuffer_pass(tri, z, b0, b1, scene, vs)
-
-            # --- SSAO ----------------------------------------------------
-            if use_ssao:
-                ssao = ssao_pass(gbuf.depth)
-            else:
-                ssao = jnp.ones_like(gbuf.depth)
-
-            # --- shading + skybox + tonemap -----------------------------
-            color = shading_pass(
-                gbuf, ssao, shadow_map, scene.lights, scene.num_lights,
-                params, ibl=ibl,
-            )
-
-            ctx = {"color": color, "gbuffer": gbuf, "ssao": ssao}
-            for p in self.extra_passes:
-                ctx = p.render(ctx)
-
-            rgba = present_pass(ctx["color"])
-            # crop padding back to the configured size
-            return rgba[: cfg.height, : cfg.width]
 
         return frame
 
@@ -166,22 +216,7 @@ class Renderer:
     def frame_params(self, world) -> tuple[dict, bool]:
         camera: Camera = world.resource(Camera)
         light_pv, has_light = find_shadow_light(world)
-        proj = camera.projection()
-        near = camera.near_p()
-        near_h = 2.0 * near * np.tan(camera.fov() / 2.0)
-        near_w = camera.aspect() * near_h
-        params = {
-            "proj_view": jnp.asarray(proj @ camera.view()),
-            "prev_proj_view": jnp.asarray(proj @ camera.prev_view()),
-            "light_proj_view": jnp.asarray(light_pv),
-            "eye_pos": jnp.asarray(camera.position()),
-            "direction": jnp.asarray(camera.direction()),
-            "right": jnp.asarray(camera.right()),
-            "up": jnp.asarray(camera.up()),
-            "near": jnp.asarray(np.float32(near)),
-            "near_wh": jnp.asarray(np.array([near_w, near_h], np.float32)),
-        }
-        return params, has_light
+        return build_camera_params(camera, light_pv), has_light
 
     def render(self, world) -> np.ndarray:
         params, has_light = self.frame_params(world)

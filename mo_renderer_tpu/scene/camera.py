@@ -78,8 +78,8 @@ class Camera:
         self.transform = Transform(translation=position, rotation=rotation)
         self.settings = CameraSettings.new_perspective()
         self._aspect = 1.0
-        self._view = np.eye(4, dtype=np.float32)
-        self._prev_view = np.eye(4, dtype=np.float32)
+        self._view: np.ndarray | None = None  # built lazily from transform
+        self._prev_view: np.ndarray | None = None
         self._proj = np.eye(4, dtype=np.float32)
         self.is_dirty = True
 
@@ -106,11 +106,27 @@ class Camera:
         return self._aspect
 
     def view(self) -> np.ndarray:
+        if self._view is None:
+            self.refresh_view()
+        return self._view
+
+    def refresh_view(self) -> np.ndarray:
+        """Rebuild the view matrix from the transform (camera.rs:342-350):
+        prev_view <- view, view <- look_at_rh(pos, pos + direction, up)."""
+        direction = self.direction()
+        right = np.cross(direction, np.array([0.0, 1.0, 0.0], np.float32))
+        right = right / np.linalg.norm(right)
+        up = np.cross(right, direction)
+        up = up / np.linalg.norm(up)
+        pos = self.position()
+        prev = self._view
+        self._view = look_at_rh(pos, pos + direction, up)
+        self._prev_view = prev if prev is not None else self._view
         return self._view
 
     def view_matrix_static(self) -> np.ndarray:
         """View with zero translation (camera.rs:132-138)."""
-        v = self._view.copy()
+        v = self.view().copy()
         v[:3, 3] = 0.0
         return v
 
@@ -118,15 +134,17 @@ class Camera:
         return self._proj
 
     def projection_view(self) -> np.ndarray:
-        return (self._proj @ self._view).astype(np.float32)
+        return (self._proj @ self.view()).astype(np.float32)
 
     def inverse_projection(self) -> np.ndarray:
         return np.linalg.inv(self._proj.astype(np.float64)).astype(np.float32)
 
     def inverse_view(self) -> np.ndarray:
-        return np.linalg.inv(self._view.astype(np.float64)).astype(np.float32)
+        return np.linalg.inv(self.view().astype(np.float64)).astype(np.float32)
 
     def prev_view(self) -> np.ndarray:
+        if self._prev_view is None:
+            self.view()
         return self._prev_view
 
     # --- projection rebuild (camera.rs:203-253) -------------------------
@@ -203,11 +221,7 @@ class Camera:
             return
         # NOTE: the reference never clears is_dirty (camera.rs:342-350), so
         # the view/prev_view pair is refreshed every frame.  Reproduced.
-        up = np.cross(right, direction)
-        up = up / np.linalg.norm(up)
-        pos = camera.position()
-        camera._prev_view = camera._view
-        camera._view = look_at_rh(pos, pos + direction, up)
+        camera.refresh_view()
 
 
 def _fixed_width(width: float, w: float, h: float) -> tuple[float, float]:
