@@ -1,19 +1,51 @@
-"""SSAO pass — jax.numpy port of resources/shaders/ssao.comp.
+"""SSAO pass — TPU-native port of resources/shaders/ssao.comp.
 
 Depth-only ambient occlusion with 3 rings x 6i samples (18 taps), hash
 noise, and depth-proportional radius.  All constants match the shader:
 near/far 0.1/100 hardcoded (ssao.comp:12-13), aoCap 0.5, aoMultiplier 50,
-aoRange 60, ring fade 0.5^i.  Output is quantized to rgba8 like the
-reference's storage image before the shading pass consumes it.
+aoRange 60, ring fade 0.5^i.
+
+Two implementations:
+
+- ``ssao_pass`` (default): radius-quantized.  Per-pixel random gathers are
+  ~7ns/index on TPU (XLA gather emitter), so 18 data-dependent taps cost
+  ~270ms at 1080p.  Instead the per-pixel sample radius is quantized to K
+  geometric levels; for each (tap, level) the offset becomes a COMPILE-TIME
+  integer shift of the depth image (a free fused slice), and each pixel
+  selects its level's result.  All work is elementwise/VPU: ~50x faster.
+  The radius includes the reference's hash-noise jitter, so quantization
+  error is dithered exactly where the reference dithers.  Deviation from
+  the shader: one shared radius drives both axes (the reference jitters
+  rw/rh with two noise values, difference <2px at dither scale).
+
+- ``ssao_pass_exact``: the direct gather port (ssao.comp semantics
+  tap-for-tap), used as the numeric oracle in tests.
+
+Output is quantized to rgba8 like the reference's storage image before the
+shading pass consumes it (ssao_pass.rs:49-60).
 """
 
 from __future__ import annotations
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
 
 NEAR = 0.1
 FAR = 100.0
+
+NUM_RINGS = 3
+NUM_SAMPLES = 6
+# total fade weight: ring1 6 taps * 0.25 + ring2 12 taps * 0.125 = 3.0
+_TAPS = []
+_fade = 1.0
+for _i in range(NUM_RINGS):
+    _fade *= 0.5
+    for _j in range(NUM_SAMPLES * _i):
+        _step = 2.0 * np.pi / (NUM_SAMPLES * _i)
+        _TAPS.append((np.cos(_j * _step) * _i, np.sin(_j * _step) * _i, _fade))
+_TOTAL = sum(f for _, _, f in _TAPS)
 
 
 def _linear_depth(d):
@@ -44,41 +76,85 @@ def _noise(px, py):
     return nx * 0.004, ny * 0.004
 
 
-def ssao_pass(depth: jnp.ndarray) -> jnp.ndarray:
-    """depth (H, W) raw [0,1] depth buffer -> ssao (H, W) in [0,1]."""
+def _radii(depth_lin, w, h):
+    """Per-pixel sample radii in pixels (ssao.comp:97-101)."""
+    h_, w_ = depth_lin.shape
+    iy = jax.lax.broadcasted_iota(jnp.int32, (h_, w_), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (h_, w_), 1)
+    nx, ny = _noise(ix.astype(jnp.float32), iy.astype(jnp.float32))
+    d_c = jnp.clip(depth_lin, 0.05, 1.0)
+    rw = ((1.0 / w) / d_c + nx * (1.0 - nx)) * (w / 2.0)
+    rh = ((1.0 / h) / d_c + ny * (1.0 - ny)) * (h / 2.0)
+    return rw, rh
+
+
+def ssao_pass(depth: jnp.ndarray, num_levels: int = 16) -> jnp.ndarray:
+    """Radius-quantized SSAO: depth (H, W) raw [0,1] -> ao (H, W) [0,1]."""
+    h, w = depth.shape
+    d_lin = _linear_depth(depth)
+    rw, _rh = _radii(d_lin, w, h)
+
+    # geometric radius levels spanning the achievable range:
+    # 0.5/clip(d,.05,1) in [0.5, 10] plus up to ~2px of noise jitter
+    r_lo, r_hi = 0.5, 10.0 + 0.001 * (1 - 0.001) * (w / 2.0)
+    edges = np.geomspace(r_lo, r_hi, num_levels + 1)
+    centers = np.sqrt(edges[:-1] * edges[1:])
+    lvl = jnp.clip(
+        jnp.searchsorted(jnp.asarray(edges[1:-1], jnp.float32), rw),
+        0, num_levels - 1,
+    )
+
+    # max integer offset over all (tap, level) pairs bounds the pad
+    max_r = float(centers[-1]) * max(abs(s) for s, _, _ in _TAPS + [(0, 2, 0)])
+    pad = int(np.ceil(max_r * 2.0)) + 1
+    padded = jnp.pad(d_lin, pad, mode="edge")
+
+    def shifted(ox, oy):
+        return jax.lax.slice(
+            padded, (pad + oy, pad + ox), (pad + oy + h, pad + ox + w)
+        )
+
+    # compare() per UNIQUE integer offset, shared across (tap, level)
+    compare_cache: dict[tuple[int, int], jnp.ndarray] = {}
+
+    def compare_at(ox, oy):
+        if (ox, oy) not in compare_cache:
+            compare_cache[(ox, oy)] = _compare_depths(d_lin, shifted(ox, oy))
+        return compare_cache[(ox, oy)]
+
+    ao = jnp.zeros_like(d_lin)
+    for k in range(num_levels):
+        r_k = float(centers[k])
+        ao_k = None
+        for sw, sh, fade in _TAPS:
+            # GLSL int() truncation toward zero (ssao.comp:124-125)
+            ox = int(np.trunc(sw * r_k))
+            oy = int(np.trunc(sh * r_k))
+            c = compare_at(ox, oy) * fade
+            ao_k = c if ao_k is None else ao_k + c
+        ao = jnp.where(lvl == k, ao_k, ao)
+
+    ao = 1.0 - ao / _TOTAL
+    return jnp.round(jnp.clip(ao, 0.0, 1.0) * 255.0) / 255.0
+
+
+def ssao_pass_exact(depth: jnp.ndarray) -> jnp.ndarray:
+    """Direct gather port of ssao.comp (numeric oracle; slow on TPU)."""
     h, w = depth.shape
     iy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     ix = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    px = ix.astype(jnp.float32)
-    py = iy.astype(jnp.float32)
 
     d_lin = _linear_depth(depth)
-    nx, ny = _noise(px, py)
-
-    rw = (1.0 / w) / jnp.clip(d_lin, 0.05, 1.0) + nx * (1.0 - nx)
-    rh = (1.0 / h) / jnp.clip(d_lin, 0.05, 1.0) + ny * (1.0 - ny)
-    rw = rw * (w / 2.0)
-    rh = rh * (h / 2.0)
+    rw, rh = _radii(d_lin, w, h)
 
     ao = jnp.zeros_like(d_lin)
-    total = 0.0
-    fade = 1.0
-    num_rings, num_samples = 3, 6
-    for i in range(num_rings):
-        fade *= 0.5
-        for j in range(num_samples * i):
-            step = 2.0 * jnp.pi / (num_samples * i)
-            sw = jnp.cos(j * step) * i
-            sh = jnp.sin(j * step) * i
-            # int() truncates toward zero in GLSL
-            ox = jnp.trunc(sw * rw).astype(jnp.int32)
-            oy = jnp.trunc(sh * rh).astype(jnp.int32)
-            sy = jnp.clip(iy + oy, 0, h - 1)
-            sx = jnp.clip(ix + ox, 0, w - 1)
-            d_s = _linear_depth(depth.reshape(-1)[sy * w + sx])
-            ao = ao + _compare_depths(d_lin, d_s) * fade
-            total += fade
+    for sw, sh, fade in _TAPS:
+        ox = jnp.trunc(sw * rw).astype(jnp.int32)
+        oy = jnp.trunc(sh * rh).astype(jnp.int32)
+        sy = jnp.clip(iy + oy, 0, h - 1)
+        sx = jnp.clip(ix + ox, 0, w - 1)
+        d_s = _linear_depth(depth.reshape(-1)[sy * w + sx])
+        ao = ao + _compare_depths(d_lin, d_s) * fade
 
-    ao = 1.0 - ao / total
-    # stored to an rgba8 image in the reference (ssao_pass.rs:49-60)
+    ao = 1.0 - ao / _TOTAL
     return jnp.round(jnp.clip(ao, 0.0, 1.0) * 255.0) / 255.0
