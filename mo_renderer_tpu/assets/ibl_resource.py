@@ -30,24 +30,49 @@ logger = logging.getLogger("mo_renderer_tpu")
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class IBLMaps:
-    """Device-array pytree consumed by the shading pass."""
+    """Device-array pytree consumed by the shading pass.
+
+    The quad/SH fields are gather-minimal derivations of the base maps
+    (see device/sampling.py quad layouts): env_quad_rows samples the sky
+    in ONE gather, specular_quad does trilinear LOD in two, lut_quad one,
+    and irradiance_sh9 evaluates diffuse ambient with zero gathers.
+    """
 
     environment_faces: jnp.ndarray  # (6, S, S, 3)
     irradiance_faces: jnp.ndarray  # (6, I, I, 3)
     specular_mips: MipCube
     brdf_lut: jnp.ndarray  # (B, B, 3)
+    env_quad_rows: jnp.ndarray  # (6*S*S, 12)
+    specular_quad: "object"  # sampling.MipCubeQuad
+    lut_quad_rows: jnp.ndarray  # (B*B, 8) — scale/bias channels only
+    irradiance_sh9: jnp.ndarray  # (9, 3)
 
     def tree_flatten(self):
-        return (
-            self.environment_faces,
-            self.irradiance_faces,
-            self.specular_mips,
-            self.brdf_lut,
+        return tuple(
+            getattr(self, f.name) for f in dataclasses.fields(self)
         ), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children)
+
+
+def _derive_fast_maps(env, irr, spec, lut):
+    """Build the gather-minimal layouts from the base IBL maps."""
+    from ..device.sampling import (
+        CLAMP_TO_EDGE,
+        MipCubeQuad,
+        build_cube_quad_rows,
+        build_quad_rows,
+    )
+    from ..kernels.ibl import sh9_project_cube
+
+    return dict(
+        env_quad_rows=build_cube_quad_rows(env),
+        specular_quad=MipCubeQuad(spec),
+        lut_quad_rows=build_quad_rows(lut[..., :2], CLAMP_TO_EDGE),
+        irradiance_sh9=sh9_project_cube(irr),
+    )
 
 
 class IBLResource:
@@ -120,6 +145,7 @@ class IBLResource:
             irradiance_faces=irr,
             specular_mips=spec,
             brdf_lut=lut,
+            **_derive_fast_maps(env, irr, spec, lut),
         )
         if self.use_cache:
             self._save_cache()
@@ -169,11 +195,16 @@ class IBLResource:
             while f"spec_{i}" in data:
                 spec_levels.append(jnp.asarray(data[f"spec_{i}"]))
                 i += 1
+            env = jnp.asarray(data["environment"])
+            irr = jnp.asarray(data["irradiance"])
+            spec = MipCube(spec_levels)
+            lut = jnp.asarray(data["brdf_lut"])
             return IBLMaps(
-                environment_faces=jnp.asarray(data["environment"]),
-                irradiance_faces=jnp.asarray(data["irradiance"]),
-                specular_mips=MipCube(spec_levels),
-                brdf_lut=jnp.asarray(data["brdf_lut"]),
+                environment_faces=env,
+                irradiance_faces=irr,
+                specular_mips=spec,
+                brdf_lut=lut,
+                **_derive_fast_maps(env, irr, spec, lut),
             )
         except Exception as e:  # corrupt cache -> recompute
             logger.warning("IBL cache load failed (%s); recomputing", e)

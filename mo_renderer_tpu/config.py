@@ -74,6 +74,11 @@ class EngineConfig:
     # (N, tex_size, tex_size, 4) array for coherent per-pixel gathers.
     texture_array_size: int = 1024
     max_textures: int = 64
+    # Fast sampling: quad-packed texture/shadow/IBL layouts + SH9
+    # irradiance.  One gather per bilinear sample instead of four (XLA TPU
+    # gathers cost ~7ns/index), at ~4-5x texture memory.  Falls back to
+    # the reference path automatically when a material uses UV set 1.
+    fast_sampling: bool = True
 
     # Asset root containing gltf/, tex/, shaders/ subdirs.
     resource_root: str = dataclasses.field(default_factory=_default_resource_root)

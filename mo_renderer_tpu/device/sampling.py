@@ -295,6 +295,168 @@ def sample_mipcube_lod(mipcube: MipCube, dirs, lod):
     return c0 * (1 - f) + c1 * f
 
 
+# --- quad-packed layouts ---------------------------------------------------
+#
+# XLA's TPU gather costs ~7ns per INDEX regardless of row width (up to
+# ~16 elements), so a bilinear sample as 4 scalar taps is 4x the price of
+# one row fetch.  Quad packing stores every texel's 2x2 neighborhood
+# (t(y,x), t(y,x+1), t(y+1,x), t(y+1,x+1)) contiguously — with the wrap
+# mode baked into the neighbors — so a bilinear sample is ONE row gather
+# plus elementwise weights.  4x memory for ~4x fewer gather indices.
+
+def build_quad_rows(tex, mode: int = CLAMP_TO_EDGE):
+    """(H, W, C) -> (H*W, 4*C) quad rows with wrap baked in.
+
+    Row (y*W + x) = concat(t[y,x], t[y,xp], t[yp,x], t[yp,xp]) where
+    xp/yp are the +1 neighbors under ``mode``.
+    """
+    h, w, c = tex.shape
+    if mode == MIRRORED_REPEAT:
+        raise NotImplementedError("quad rows: clamp/repeat only")
+    if mode == REPEAT:
+        xs = jnp.roll(tex, -1, axis=1)
+        ys = jnp.roll(tex, -1, axis=0)
+        xys = jnp.roll(xs, -1, axis=0)
+    else:  # clamp
+        xs = jnp.concatenate([tex[:, 1:], tex[:, -1:]], axis=1)
+        ys = jnp.concatenate([tex[1:], tex[-1:]], axis=0)
+        xys = jnp.concatenate([xs[1:], xs[-1:]], axis=0)
+    return jnp.concatenate([tex, xs, ys, xys], axis=-1).reshape(h * w, 4 * c)
+
+
+def bilinear_weights(uv, h: int, w: int, mode: int = CLAMP_TO_EDGE):
+    """uv (..., 2) -> (row_index (...), fx (...), fy (...)) for quad rows."""
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    if mode == CLAMP_TO_EDGE:
+        # below-range coords clamp BOTH taps to texel 0: kill the lerp
+        # toward the quad's +1 neighbor (above-range is handled by the
+        # quad build, whose edge rows duplicate the last texel).
+        fx = jnp.where(x0 < 0, 0.0, fx)
+        fy = jnp.where(y0 < 0, 0.0, fy)
+    x0i = wrap_index(x0.astype(jnp.int32), w, mode)
+    y0i = wrap_index(y0.astype(jnp.int32), h, mode)
+    return y0i * w + x0i, fx, fy
+
+
+def quad_lerp(quad, fx, fy, c: int):
+    """quad (..., 4*C) + fractional weights -> bilinear result (..., C)."""
+    t00 = quad[..., 0 * c : 1 * c]
+    t10 = quad[..., 1 * c : 2 * c]
+    t01 = quad[..., 2 * c : 3 * c]
+    t11 = quad[..., 3 * c : 4 * c]
+    fx = fx[..., None]
+    fy = fy[..., None]
+    top = t00 * (1 - fx) + t10 * fx
+    bot = t01 * (1 - fx) + t11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def sample_quad_rows(rows, uv, h: int, w: int, c: int,
+                     mode: int = CLAMP_TO_EDGE, base=None):
+    """Bilinear sample from quad rows: ONE gather per sample.
+
+    rows (N, 4*C) from build_quad_rows (N = H*W, or a concatenation of
+    layers with ``base`` giving per-sample row offsets)."""
+    idx, fx, fy = bilinear_weights(uv, h, w, mode)
+    if base is not None:
+        idx = idx + base
+    quad = jnp.take(rows, idx, axis=0)
+    if rows.dtype == jnp.uint8:
+        quad = quad.astype(jnp.float32) * (1.0 / 255.0)
+    return quad_lerp(quad, fx, fy, c)
+
+
+def build_cube_quad_rows(faces):
+    """(6, S, S, C) -> (6*S*S, 4*C) clamped quad rows, face-major."""
+    return jnp.concatenate(
+        [build_quad_rows(faces[f], CLAMP_TO_EDGE) for f in range(6)], axis=0
+    )
+
+
+def sample_cubemap_quad(rows, s: int, c: int, dirs):
+    """Bilinear cubemap sample from quad rows: ONE gather."""
+    face, u, v = cube_face_uv(dirs)
+    uv = jnp.stack([u, v], axis=-1)
+    idx, fx, fy = bilinear_weights(uv, s, s, CLAMP_TO_EDGE)
+    quad = jnp.take(rows, idx + face * (s * s), axis=0)
+    return quad_lerp(quad, fx, fy, c)
+
+
+@jax.tree_util.register_pytree_node_class
+class MipCubeQuad:
+    """Quad-packed cubemap mip chain: trilinear LOD in TWO gathers.
+
+    ``rows``: (total_texels, 4*C) quad rows, mips concatenated in the same
+    face-major order as MipCube."""
+
+    def __init__(self, mipcube=None, _rows=None, _sizes=None, _offsets=None):
+        if mipcube is None:
+            self.rows = _rows
+            self.sizes = np.asarray(_sizes, np.int32)
+            self.offsets = np.asarray(_offsets, np.int32)
+            self.num_levels = len(self.sizes)
+            return
+        self.sizes = mipcube.sizes
+        self.offsets = mipcube.offsets
+        self.num_levels = mipcube.num_levels
+        self.rows = jnp.concatenate(
+            [
+                build_cube_quad_rows(mipcube.level(m))
+                for m in range(mipcube.num_levels)
+            ],
+            axis=0,
+        )
+
+    def tree_flatten(self):
+        return (self.rows,), (
+            tuple(self.sizes.tolist()),
+            tuple(self.offsets.tolist()),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        sizes, offsets = aux
+        return cls(_rows=children[0], _sizes=sizes, _offsets=offsets)
+
+
+def _sample_mipcube_quad_level(rows, sizes, offsets, level, face, u, v, c):
+    """Bilinear sample at per-pixel integer mip `level`: ONE gather."""
+    s = jnp.take(sizes, level)
+    off = jnp.take(offsets, level)
+    x = u * s - 0.5
+    y = v * s - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = jnp.where(x0 < 0, 0.0, x - x0)
+    fy = jnp.where(y0 < 0, 0.0, y - y0)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, s - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, s - 1)
+    idx = off + face * s * s + y0i * s + x0i
+    quad = jnp.take(rows, idx, axis=0)
+    return quad_lerp(quad, fx, fy, c)
+
+
+def sample_mipcube_quad_lod(mq: MipCubeQuad, dirs, lod):
+    """GLSL textureLod on a quad-packed cubemap (2 gathers vs 8)."""
+    c = mq.rows.shape[-1] // 4
+    sizes = jnp.asarray(mq.sizes)
+    offsets = jnp.asarray(mq.offsets)
+    nl = mq.num_levels
+    face, u, v = cube_face_uv(dirs)
+    lod = jnp.clip(lod, 0.0, nl - 1)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, nl - 1)
+    f = (lod - l0.astype(lod.dtype))[..., None]
+    c0 = _sample_mipcube_quad_level(mq.rows, sizes, offsets, l0, face, u, v, c)
+    c1 = _sample_mipcube_quad_level(mq.rows, sizes, offsets, l1, face, u, v, c)
+    return c0 * (1 - f) + c1 * f
+
+
 # --- equirectangular -----------------------------------------------------
 
 def spherical_uv(dirs):

@@ -251,3 +251,4 @@ def ibl_reflection_dir(position, normal, eye_pos):
     (pbr.glsl:248-249) — reproduced verbatim for image parity."""
     v = normalize(eye_pos - position, eps=1e-20)
     return reflect_glsl(v, normal)
+

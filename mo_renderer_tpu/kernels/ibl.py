@@ -210,3 +210,63 @@ def specular_prefilter(
         )
         mips.append(level.reshape(6, size, size, 3))
     return sampling.MipCube(mips)
+
+
+# --- spherical harmonics (order 2) -----------------------------------------
+#
+# The irradiance cubemap is a cosine-convolved environment, which is
+# band-limited to SH order 2 to within ~1% (the cosine kernel's l=3+ terms
+# vanish or are negligible).  Projecting the irradiance map onto 9 SH
+# coefficients lets the shading pass evaluate diffuse ambient with ~30
+# flops and ZERO gathers (a cubemap sample costs 4 gather indices/pixel,
+# ~7ns each on TPU).  Validated against cubemap sampling in tests.
+
+_SH_C = (
+    0.282095,              # Y00
+    0.488603,              # Y1-1 (y), Y10 (z), Y11 (x)
+    1.092548,              # Y2-2 (xy), Y2-1 (yz), Y21 (xz)
+    0.315392,              # Y20 (3z^2 - 1)
+    0.546274,              # Y22 (x^2 - y^2)
+)
+
+
+def _sh9_basis(dirs):
+    """dirs (..., 3) -> (..., 9) real SH basis values."""
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    return jnp.stack(
+        [
+            jnp.full_like(x, _SH_C[0]),
+            _SH_C[1] * y,
+            _SH_C[1] * z,
+            _SH_C[1] * x,
+            _SH_C[2] * x * y,
+            _SH_C[2] * y * z,
+            _SH_C[3] * (3.0 * z * z - 1.0),
+            _SH_C[2] * x * z,
+            _SH_C[4] * (x * x - y * y),
+        ],
+        axis=-1,
+    )
+
+
+def sh9_project_cube(faces):
+    """Project a cubemap (6, S, S, C) onto SH9: returns (9, C) coeffs.
+
+    Uses the exact per-texel solid angle dw = 4 / (S^2 (x^2+y^2+1)^(3/2))
+    for face-plane coordinates x, y in [-1, 1]."""
+    s = faces.shape[1]
+    uv = _face_grid(s, half_texel=True)
+    fx = uv[..., 0] * 2.0 - 1.0
+    fy = uv[..., 1] * 2.0 - 1.0
+    dw = 4.0 / (s * s * jnp.power(fx * fx + fy * fy + 1.0, 1.5))  # (S, S)
+    dirs = cube_directions(s, half_texel=True)  # (6, S, S, 3)
+    basis = _sh9_basis(dirs)  # (6, S, S, 9)
+    w = dw[None, :, :, None, None]  # broadcast over faces & channels
+    contrib = basis[..., :, None] * faces[..., None, :] * w
+    return jnp.sum(contrib, axis=(0, 1, 2))  # (9, C)
+
+
+def sh9_eval(coeffs, dirs):
+    """Evaluate SH9 reconstruction at dirs (..., 3) -> (..., C)."""
+    basis = _sh9_basis(dirs)  # (..., 9)
+    return jnp.einsum("...i,ic->...c", basis, coeffs)

@@ -96,6 +96,7 @@ class MultiViewRenderer:
                     cfg=cfg, pad_w=inner.pad_w, pad_h=inner.pad_h,
                     binned_cap=inner._binned_cap,
                     has_shadow_light=has_shadow_light,
+                    fast_sampling=inner._fast,
                 )
                 for i in range(v_local)
             ]

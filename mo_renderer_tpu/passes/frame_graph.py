@@ -17,15 +17,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import EngineConfig
+from ..device.sampling import CLAMP_TO_EDGE, build_quad_rows
 from ..kernels.raster_setup import bin_triangles, triangle_setup
 from ..kernels.rasterizer import rasterize
 from ..scene.camera import Camera
 from ..scene.scene_buffers import find_shadow_light, pack_scene
-from .gbuffer import gbuffer_pass
+from .gbuffer import gbuffer_pass, gbuffer_pass_fast
 from .present import present_pass
-from .shading import shading_pass
+from .shading import shading_pass, shading_pass_fast
 from .ssao import ssao_pass
-from .vertex_stage import run_vertex_stage
+from .vertex_stage import pack_triangle_attributes, run_vertex_stage
 
 logger = logging.getLogger("mo_renderer_tpu")
 
@@ -78,6 +79,7 @@ def frame_program(
     binned_cap,
     has_shadow_light,
     extra_passes=(),
+    fast_sampling=None,
 ):
     """One full deferred frame as a pure function over pytrees.
 
@@ -90,6 +92,7 @@ def frame_program(
     use_ssao = cfg.ssao_enabled
     use_shadow = cfg.shadow_enabled
     smap = cfg.shadow_map_size
+    fast = cfg.fast_sampling if fast_sampling is None else fast_sampling
 
     vs = run_vertex_stage(
         scene,
@@ -140,7 +143,14 @@ def frame_program(
         binned, width=pad_w, height=pad_h,
         tile_h=cfg.tile_h, tile_w=cfg.tile_w,
     )
-    gbuf = gbuffer_pass(tri, z, b0, b1, scene, vs)
+    if fast:
+        tri_attrs = pack_triangle_attributes(scene, vs)
+        gbuf = gbuffer_pass_fast(
+            tri, z, b0, b1, scene, tri_attrs, params,
+            stack_size=cfg.texture_array_size,
+        )
+    else:
+        gbuf = gbuffer_pass(tri, z, b0, b1, scene, vs)
 
     # --- SSAO --------------------------------------------------------------
     if use_ssao:
@@ -149,10 +159,21 @@ def frame_program(
         ssao = jnp.ones_like(gbuf.depth)
 
     # --- shading + skybox + tonemap ---------------------------------------
-    color = shading_pass(
-        gbuf, ssao, shadow_map, scene.lights, scene.num_lights,
-        params, ibl=ibl,
-    )
+    if fast:
+        shadow_quads = (
+            build_quad_rows(shadow_map[..., None], CLAMP_TO_EDGE)
+            if shadow_map is not None
+            else None
+        )
+        color = shading_pass_fast(
+            gbuf, ssao, shadow_quads, smap, scene.lights,
+            scene.num_lights, params, ibl=ibl,
+        )
+    else:
+        color = shading_pass(
+            gbuf, ssao, shadow_map, scene.lights, scene.num_lights,
+            params, ibl=ibl,
+        )
 
     ctx = {"color": color, "gbuffer": gbuf, "ssao": ssao}
     for p in extra_passes:
@@ -187,6 +208,12 @@ class Renderer:
             self.ibl = ibl_res
         t = int(self.scene.indices.shape[0])
         self._binned_cap = _round_up(min(max(8192, 4 * t), 1 << 20), 8)
+        # the stacked-texture fast path samples every slot with UV set 0;
+        # scenes using UV1 (rare) fall back to the reference samplers
+        uses_uv1 = bool(np.asarray(self.scene.materials[:, 5:10]).any())
+        self._fast = self.config.fast_sampling and not uses_uv1
+        if self.config.fast_sampling and uses_uv1:
+            logger.info("scene uses UV set 1: reference sampling path")
         self._frame_fn = self._build_frame_fn()
         logger.info(
             "renderer prepared: %d tris, %d verts, fb %dx%d (pad %dx%d)",
@@ -200,6 +227,7 @@ class Renderer:
         pad_w, pad_h = self.pad_w, self.pad_h
         binned_cap = self._binned_cap
         extra_passes = tuple(self.extra_passes)
+        fast = self._fast
 
         @functools.partial(jax.jit, static_argnames=("has_shadow_light",))
         def frame(scene, ibl, params, has_shadow_light):
@@ -208,6 +236,7 @@ class Renderer:
                 cfg=cfg, pad_w=pad_w, pad_h=pad_h, binned_cap=binned_cap,
                 has_shadow_light=has_shadow_light,
                 extra_passes=extra_passes,
+                fast_sampling=fast,
             )
 
         return frame

@@ -23,6 +23,16 @@ import jax.numpy as jnp
 from ..assets import materials as M
 from ..device import sampling
 from ..kernels.tonemap import srgb_to_linear
+from .vertex_stage import (
+    TRI_B0,
+    TRI_HAS_TANGENT,
+    TRI_MAT,
+    TRI_N0,
+    TRI_T0,
+    TRI_UV0,
+    TRI_UV1,
+    TRI_WP0,
+)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -139,6 +149,137 @@ def gbuffer_pass(tri, z, b0, b1, scene, vs) -> GBuffer:
     velocity = ndc01(clip) - ndc01(prev_clip)
 
     # clear values (gbuffer_pass.rs:482-499): zeros + far depth
+    m3 = covered[..., None]
+    return GBuffer(
+        base_color=jnp.where(m3, base_color, 0.0),
+        position=jnp.where(m3, world_pos, 0.0),
+        normal=jnp.where(m3, normal, 0.0),
+        emissive=jnp.where(m3, emissive, 0.0),
+        orm=jnp.where(
+            m3, jnp.stack([occlusion, roughness, metallic], axis=-1), 0.0
+        ),
+        velocity=jnp.where(m3, velocity, 0.0),
+        depth=z,
+        mask=covered,
+    )
+
+
+def _ndc01(c):
+    """Clip -> [0,1]^2 NDC with Vulkan y flip (gbuffer.frag:71-79)."""
+    wc = jnp.where(jnp.abs(c[..., 3]) > 1e-20, c[..., 3], 1.0)
+    a = (c[..., :2] / wc[..., None] + 1.0) * 0.5
+    return jnp.stack([a[..., 0], 1.0 - a[..., 1]], axis=-1)
+
+
+def gbuffer_pass_fast(tri, z, b0, b1, scene, tri_attrs, params,
+                      stack_size: int) -> GBuffer:
+    """Gather-minimal G-buffer: 3 gathers per pixel total.
+
+    1. one (T, 56) row gather for all corner attributes (packed by
+       vertex_stage.pack_triangle_attributes),
+    2. one material-table row gather (tiny table),
+    3. one texture-stack quad gather for all 5 material texture slots.
+
+    Clip/prev-clip positions and corner 1/w are recomputed per pixel from
+    world position (exact — they are linear in it).  Texturing assumes
+    every slot samples UV set 0 (the caller falls back to gbuffer_pass
+    when a material uses UV1).
+    """
+    covered = tri >= 0
+    t = jnp.maximum(tri, 0)
+    row = jnp.take(tri_attrs, t, axis=0)  # (H, W, 56)
+
+    pv = params["proj_view"]
+    prev_pv = params["prev_proj_view"]
+
+    def corner(base, width, k):
+        return row[..., base + width * k : base + width * (k + 1)]
+
+    wp = [corner(TRI_WP0, 3, k) for k in range(3)]
+
+    # perspective-correct barycentrics: w_k = PV[3] . [wp_k, 1]
+    def clip_w(p):
+        return (
+            p[..., 0] * pv[3, 0] + p[..., 1] * pv[3, 1]
+            + p[..., 2] * pv[3, 2] + pv[3, 3]
+        )
+
+    def inv_w(p):
+        w = clip_w(p)
+        return 1.0 / jnp.where(jnp.abs(w) > 1e-20, w, 1.0)
+
+    b2 = 1.0 - b0 - b1
+    q0 = b0 * inv_w(wp[0])
+    q1 = b1 * inv_w(wp[1])
+    q2 = b2 * inv_w(wp[2])
+    qs = q0 + q1 + q2
+    qs = jnp.where(jnp.abs(qs) > 1e-20, qs, 1.0)
+    bb0, bb1, bb2 = q0 / qs, q1 / qs, q2 / qs
+
+    def interp(base, width):
+        return (
+            corner(base, width, 0) * bb0[..., None]
+            + corner(base, width, 1) * bb1[..., None]
+            + corner(base, width, 2) * bb2[..., None]
+        )
+
+    world_pos = interp(TRI_WP0, 3)
+    n_in = interp(TRI_N0, 3)
+    t_in = interp(TRI_T0, 3)
+    bt_in = interp(TRI_B0, 3)
+    uv0 = interp(TRI_UV0, 2)
+    mat_id = row[..., TRI_MAT].astype(jnp.int32)
+    has_tangent = row[..., TRI_HAS_TANGENT] > 0.5
+
+    # clip positions are linear in world pos: interpolate-then-project
+    wp1 = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], -1)
+    velocity = _ndc01(wp1 @ pv.T) - _ndc01(wp1 @ prev_pv.T)
+
+    # material row (tiny table: one row gather)
+    mat = jnp.take(scene.materials, mat_id, axis=0)  # (H, W, 24)
+
+    # ONE texture-stack gather for all five slots
+    s = stack_size
+    idx, fx, fy = sampling.bilinear_weights(uv0, s, s, sampling.REPEAT)
+    stack_row = jnp.take(
+        scene.texture_stack, idx + mat_id * (s * s), axis=0
+    )  # (H, W, 20) uint32
+
+    w00 = (1 - fx) * (1 - fy)
+    w10 = fx * (1 - fy)
+    w01 = (1 - fx) * fy
+    w11 = fx * fy
+
+    def slot(k):
+        quad = stack_row[..., 4 * k : 4 * k + 4]  # [t00, t10, t01, t11] u32
+        chans = []
+        for shift in (0, 8, 16, 24):
+            v = ((quad >> shift) & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
+            chans.append(
+                v[..., 0] * w00 + v[..., 1] * w10
+                + v[..., 2] * w01 + v[..., 3] * w11
+            )
+        return jnp.stack(chans, axis=-1)  # (H, W, 4)
+
+    base_rgba, normal_map, mr, occ, emis = (slot(k) for k in range(5))
+
+    base_factor = mat[..., M.MAT_BASE_COLOR_FACTOR : M.MAT_BASE_COLOR_FACTOR + 4]
+    base_color = srgb_to_linear(base_rgba[..., :3] * base_factor[..., :3])
+    metallic = mr[..., 2] * mat[..., M.MAT_METALLIC_FACTOR]
+    roughness = mr[..., 1] * mat[..., M.MAT_ROUGHNESS_FACTOR]
+    occlusion = occ[..., 0]
+    emissive = (
+        emis[..., :3]
+        * mat[..., M.MAT_EMISSIVE_FACTOR : M.MAT_EMISSIVE_FACTOR + 3]
+    )
+
+    n_geo = _normalize(n_in)
+    n_tex = _normalize(normal_map[..., :3] * 2.0 - 1.0)
+    n_mapped = _normalize(
+        t_in * n_tex[..., 0:1] + bt_in * n_tex[..., 1:2] + n_geo * n_tex[..., 2:3]
+    )
+    normal = jnp.where(has_tangent[..., None], n_mapped, n_geo)
+
     m3 = covered[..., None]
     return GBuffer(
         base_color=jnp.where(m3, base_color, 0.0),

@@ -175,3 +175,161 @@ def shading_pass(
         # (skybox_fs writes the sample directly)
         color = jnp.where((gbuf.depth >= 1.0)[..., None], sky, color)
     return jnp.clip(color, 0.0, 1.0)
+
+
+# --- gather-minimal fast path ----------------------------------------------
+#
+# XLA TPU gathers cost ~7ns per index, so the naive shading pass (36 PCF
+# taps + 16 IBL taps per pixel) dominates the frame.  The fast path cuts
+# per-pixel gather indices from ~60 to 8:
+#   PCF       : 4 quad fetches reconstruct the 4x4 texel window that all
+#               9 Poisson taps (|offset| <= 1 texel) live in
+#   specular  : 2 (quad-packed mip chain, sample_mipcube_quad_lod)
+#   BRDF LUT  : 1 (quad rows)
+#   skybox    : 1 (quad rows)
+#   irradiance: 0 (SH9 evaluation — the cosine-convolved map is order-2
+#               band-limited; validated against cube sampling in tests)
+# Deviation: PCF base coords clamp one texel earlier at the shadow-map
+# border (a 2-texel band of the 2048^2 map).
+
+def _select3(k, v0, v1, v2):
+    """k in {0,1,2} (int array) -> elementwise select."""
+    return jnp.where(k == 0, v0, jnp.where(k == 1, v1, v2))
+
+
+def calculate_shadow_fast(world_pos, light_proj_view, shadow_quad_rows, s):
+    """PCF via one 4x4 window (4 quad gathers), all 9 taps arithmetic."""
+    p = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], -1)
+    lp = p @ light_proj_view.T
+    wc = jnp.where(jnp.abs(lp[..., 3]) > 1e-20, lp[..., 3], 1.0)
+    proj = lp[..., :3] / wc[..., None]
+    uv = proj[..., :2] * 0.5 + 0.5
+    beyond_far = proj[..., 2] > 1.0
+    current = proj[..., 2] - SHADOW_BIAS
+
+    # window anchor (clamped so the 4x4 window stays on the map)
+    xf = jnp.clip(uv[..., 0] * s - 0.5, 1.0, s - 3.0)
+    yf = jnp.clip(uv[..., 1] * s - 0.5, 1.0, s - 3.0)
+    x0 = jnp.floor(xf)
+    y0 = jnp.floor(yf)
+    ax = xf - x0
+    ay = yf - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def quad(dy, dx):  # rows (y0+dy, y0+dy+1) x cols (x0+dx, x0+dx+1)
+        idx = (y0i + dy) * s + (x0i + dx)
+        return jnp.take(shadow_quad_rows, idx, axis=0)  # (..., 4)
+
+    q_tl = quad(-1, -1)
+    q_tr = quad(-1, 1)
+    q_bl = quad(1, -1)
+    q_br = quad(1, 1)
+    # W[r][c] = depth at (y0-1+r, x0-1+c), r,c in 0..3
+    w_rows = [
+        [q_tl[..., 0], q_tl[..., 1], q_tr[..., 0], q_tr[..., 1]],
+        [q_tl[..., 2], q_tl[..., 3], q_tr[..., 2], q_tr[..., 3]],
+        [q_bl[..., 0], q_bl[..., 1], q_br[..., 0], q_br[..., 1]],
+        [q_bl[..., 2], q_bl[..., 3], q_br[..., 2], q_br[..., 3]],
+    ]
+
+    texel = 1.0 / s
+    shadow = jnp.zeros_like(current)
+    for dx, dy in POISSON:
+        sx = ax + dx  # tap position relative to window col 1
+        sy = ay + dy
+        kx = jnp.floor(sx)
+        ky = jnp.floor(sy)
+        fx = sx - kx
+        fy = sy - ky
+        cx = kx.astype(jnp.int32) + 1  # window col in {0,1,2}
+        cy = ky.astype(jnp.int32) + 1
+
+        def col(r):  # (left, right) texels of row r at the tap's columns
+            left = _select3(cx, w_rows[r][0], w_rows[r][1], w_rows[r][2])
+            right = _select3(cx, w_rows[r][1], w_rows[r][2], w_rows[r][3])
+            return left * (1 - fx) + right * fx
+
+        rows = [col(r) for r in range(4)]
+        top = _select3(cy, rows[0], rows[1], rows[2])
+        bot = _select3(cy, rows[1], rows[2], rows[3])
+        closest = top * (1 - fy) + bot * fy
+        shadow = shadow + (current > closest).astype(jnp.float32)
+
+    shadow = shadow / len(POISSON)
+    result = (1.0 - shadow) * (1.0 - SHADOW_INTENSITY) + SHADOW_INTENSITY
+    return jnp.where(beyond_far, 1.0, result)
+
+
+def ibl_ambient_fast(gbuf, eye_pos, ibl):
+    """Split-sum ambient with SH irradiance + quad-packed maps (3 gathers)."""
+    from ..kernels.ibl import sh9_eval
+
+    irradiance = sh9_eval(ibl.irradiance_sh9, gbuf.normal)
+    r = brdf.ibl_reflection_dir(gbuf.position, gbuf.normal, eye_pos)
+    lod = gbuf.orm[..., 1] * MAX_REFLECTION_LOD
+    prefiltered = sampling.sample_mipcube_quad_lod(ibl.specular_quad, r, lod)[..., :3]
+    v = brdf.normalize(eye_pos - gbuf.position, eps=1e-20)
+    ndotv = jnp.maximum(brdf.dot3(gbuf.normal, v), 0.0)
+    b = ibl.brdf_lut.shape[0]
+    lut_uv = jnp.stack([ndotv, 1.0 - gbuf.orm[..., 1]], axis=-1)
+    lut = sampling.sample_quad_rows(
+        ibl.lut_quad_rows, lut_uv, b, b, 2, sampling.CLAMP_TO_EDGE
+    )
+    return brdf.image_based_lighting(
+        gbuf.position, gbuf.base_color, gbuf.normal,
+        gbuf.orm[..., 2], gbuf.orm[..., 1], gbuf.orm[..., 0],
+        eye_pos, irradiance, prefiltered, lut,
+    )
+
+
+def skybox_color_fast(height, width, camera_basis, ibl):
+    """Skybox via quad-packed environment rows: ONE gather per pixel."""
+    v = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
+    u = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
+    y = (v * 2.0 - 1.0)[:, None, None]
+    x = (u * 2.0 - 1.0)[None, :, None]
+    near_w, near_h = camera_basis["near_wh"][0], camera_basis["near_wh"][1]
+    d = (
+        x * (near_w / 2.0) * camera_basis["right"]
+        + y * (near_h / 2.0) * camera_basis["up"]
+        - camera_basis["near"] * camera_basis["direction"]
+    )
+    d = d * jnp.reciprocal(
+        jnp.sqrt(jnp.maximum(jnp.sum(d * d, -1, keepdims=True), 1e-20))
+    )
+    s = ibl.environment_faces.shape[1]
+    return sampling.sample_cubemap_quad(ibl.env_quad_rows, s, 3, d)
+
+
+def shading_pass_fast(
+    gbuf, ssao, shadow_quad_rows, shadow_size, lights, num_lights,
+    params, ibl=None,
+):
+    """shading_pass with the gather-minimal samplers (same semantics)."""
+    eye = params["eye_pos"]
+    lo = shade_lights(gbuf, lights, num_lights, eye)
+
+    if ibl is not None:
+        ambient = ibl_ambient_fast(gbuf, eye, ibl)
+    else:
+        ambient = jnp.zeros_like(lo)
+
+    if shadow_quad_rows is not None:
+        shadow = calculate_shadow_fast(
+            gbuf.position, params["light_proj_view"],
+            shadow_quad_rows, shadow_size,
+        )
+    else:
+        shadow = jnp.ones_like(ssao)
+
+    color = (ambient + lo * shadow[..., None]) * ssao[..., None]
+    color = color + gbuf.emissive
+    color = tonemap_unreal(color)
+
+    if ibl is not None:
+        sky = skybox_color_fast(
+            gbuf.depth.shape[0], gbuf.depth.shape[1], params, ibl
+        )
+        color = jnp.where((gbuf.depth >= 1.0)[..., None], sky, color)
+    return jnp.clip(color, 0.0, 1.0)

@@ -79,3 +79,48 @@ def run_vertex_stage(scene, proj_view, prev_proj_view, light_proj_view):
         world_bitangent=world_bitangent,
         has_tangent=has_tangent,
     )
+
+
+# Packed per-triangle corner attributes: one (T, 56) row per triangle so
+# the G-buffer pass fetches ALL corner data with a single row gather per
+# pixel (XLA TPU gathers cost ~7ns per index; the naive path does 27
+# per-corner gathers).  Clip/prev-clip/shadow positions and 1/w are NOT
+# packed — they are exact linear functions of world position and are
+# recomputed per pixel from the proj-view matrices.
+TRI_WP0 = 0          # 3 x world_pos (9)
+TRI_N0 = 9           # 3 x world_normal (9)
+TRI_T0 = 18          # 3 x world_tangent (9)
+TRI_B0 = 27          # 3 x world_bitangent (9)
+TRI_UV0 = 36         # 3 x uv0 (6)
+TRI_UV1 = 42         # 3 x uv1 (6)
+TRI_MAT = 48         # material id (1)
+TRI_HAS_TANGENT = 49 # 0/1 (1)
+TRI_STRIDE = 56      # padded
+
+
+def pack_triangle_attributes(scene, vs: VertexOutputs) -> jnp.ndarray:
+    """(T, 56) f32 corner-attribute rows (gathered per pixel downstream)."""
+    i0, i1, i2 = (scene.indices[:, k] for k in range(3))
+
+    def corners(attr):  # (V, C) -> (T, 3*C)
+        return jnp.concatenate(
+            [jnp.take(attr, i, axis=0) for i in (i0, i1, i2)], axis=-1
+        )
+
+    mat_id = jnp.take(
+        scene.mesh_material, scene.tri_mesh, axis=0
+    ).astype(jnp.float32)
+    has_t = jnp.take(vs.has_tangent, i0, axis=0).astype(jnp.float32)
+    t = scene.indices.shape[0]
+    parts = [
+        corners(vs.world_pos),
+        corners(vs.world_normal),
+        corners(vs.world_tangent),
+        corners(vs.world_bitangent),
+        corners(scene.uv0),
+        corners(scene.uv1),
+        mat_id[:, None],
+        has_t[:, None],
+        jnp.zeros((t, TRI_STRIDE - TRI_HAS_TANGENT - 1), jnp.float32),
+    ]
+    return jnp.concatenate(parts, axis=-1)

@@ -71,6 +71,11 @@ class SceneBuffers:
     # materials + textures
     materials: jnp.ndarray  # (MAT, MATERIAL_STRIDE) f32
     textures: jnp.ndarray  # (L, S, S, 4) uint8
+    # quad-packed per-material texture stack: row (m*S*S + y*S + x) holds
+    # the 2x2 bilinear quad (REPEAT wrap baked in) of all 5 material slots
+    # (base, normal, mr, occlusion, emissive) as 20 packed-RGBA uint32s —
+    # every texture tap for a pixel is ONE gather (see passes/gbuffer.py).
+    texture_stack: jnp.ndarray  # (M_used*S*S, 20) uint32
 
     # lights
     lights: jnp.ndarray  # (max_lights, 20) f32 GpuLight rows
@@ -94,6 +99,7 @@ def pack_scene(world, config: EngineConfig) -> SceneBuffers:
     tri_indices, tri_mesh = [], []
     mesh_worlds, mesh_normals, mesh_materials = [], [], []
     material_rows = []
+    material_slot_layers: list[tuple] = []
     texture_images: list[np.ndarray] = []
 
     defaults = world.get_resource(DefaultTextures)
@@ -139,17 +145,18 @@ def pack_scene(world, config: EngineConfig) -> SceneBuffers:
             mesh_normals.append(normal_matrix(world_mat))
 
             mat = mesh.material
-            row = pack_material_gpu(
-                mat,
+            slot_layers = (
                 resolve(mat.base_color_texture, "base"),
                 resolve(mat.normal_texture, "normal"),
                 resolve(mat.surface_properties_texture, "mr"),
                 resolve(mat.occlusion_texture, "occlusion"),
                 resolve(mat.emissive_texture, "emissive"),
             )
+            row = pack_material_gpu(mat, *slot_layers)
             mesh.gpu_mat_index = len(material_rows)
             mesh_materials.append(mesh.gpu_mat_index)
             material_rows.append(row)
+            material_slot_layers.append(slot_layers)
 
             prim = mesh.primitive
             n = prim.num_vertices
@@ -194,6 +201,37 @@ def pack_scene(world, config: EngineConfig) -> SceneBuffers:
     layers = [resize_rgba(img, s) for img in texture_images]
     tex_array = np.stack(layers).astype(np.uint8)
 
+    # quad-packed per-material texture stack (see SceneBuffers docstring)
+    def _quad_u32(img: np.ndarray) -> np.ndarray:
+        u32 = (
+            img[..., 0].astype(np.uint32)
+            | (img[..., 1].astype(np.uint32) << 8)
+            | (img[..., 2].astype(np.uint32) << 16)
+            | (img[..., 3].astype(np.uint32) << 24)
+        )
+        xs = np.roll(u32, -1, axis=1)  # REPEAT wrap baked in
+        ys = np.roll(u32, -1, axis=0)
+        xys = np.roll(xs, -1, axis=0)
+        return np.stack([u32, xs, ys, xys], axis=-1).reshape(s * s, 4)
+
+    quad_cache: dict[int, np.ndarray] = {}
+
+    def quad_of(layer: int) -> np.ndarray:
+        if layer not in quad_cache:
+            quad_cache[layer] = _quad_u32(layers[layer])
+        return quad_cache[layer]
+
+    if material_slot_layers:
+        texture_stack = np.concatenate(
+            [
+                np.concatenate([quad_of(l) for l in slots], axis=-1)
+                for slots in material_slot_layers
+            ],
+            axis=0,
+        )
+    else:
+        texture_stack = np.zeros((s * s, 20), np.uint32)
+
     # lights (shading_pass.rs:653-719 packing order: world iteration order)
     light_rows = []
     for comp_type in (DirectionalLight, PointLight, SpotLight):
@@ -231,6 +269,7 @@ def pack_scene(world, config: EngineConfig) -> SceneBuffers:
             )
         ),
         textures=as_j(tex_array),
+        texture_stack=as_j(texture_stack),
         lights=as_j(lights),
         num_lights=jnp.asarray(len(light_rows), jnp.int32),
     )

@@ -1,0 +1,46 @@
+"""Whole-frame equivalence: fast (gather-minimal) vs reference samplers."""
+
+import functools
+
+import jax
+import numpy as np
+
+import __graft_entry__ as graft
+from mo_renderer_tpu.passes.frame_graph import (
+    Renderer,
+    build_camera_params,
+    frame_program,
+)
+from mo_renderer_tpu.scene.scene_buffers import find_shadow_light
+
+
+def test_fast_frame_matches_reference():
+    cfg = graft._tiny_config()
+    world = graft._tiny_world()
+    r = Renderer(cfg)
+    r.prepare(world)
+    light_pv, _ = find_shadow_light(world)
+    params = build_camera_params(graft._camera(cfg), light_pv)
+    ibl = r.ibl.maps()
+
+    base = functools.partial(
+        frame_program,
+        cfg=cfg, pad_w=r.pad_w, pad_h=r.pad_h,
+        binned_cap=r._binned_cap, has_shadow_light=True,
+    )
+    fast = np.asarray(
+        jax.jit(functools.partial(base, fast_sampling=True))(
+            r.scene, ibl, params
+        )
+    ).astype(np.int32)
+    ref = np.asarray(
+        jax.jit(functools.partial(base, fast_sampling=False))(
+            r.scene, ibl, params
+        )
+    ).astype(np.int32)
+
+    diff = np.abs(fast - ref)[..., :3]
+    # only SH9 irradiance is an approximation; everything else is exact
+    # re-layout, so the images should agree to a few LSBs
+    assert diff.mean() < 2.0, f"mean |diff| {diff.mean()}"
+    assert (diff > 12).mean() < 0.01, f"big-diff fraction {(diff > 12).mean()}"

@@ -1,0 +1,84 @@
+"""Quad-packed sampling, SH9 irradiance, analytic env-BRDF vs oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mo_renderer_tpu.device import sampling
+from mo_renderer_tpu.kernels import brdf, ibl
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(7)
+
+
+def _rand_dirs(rng, n):
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    return jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+
+
+def test_quad_rows_match_bilinear(rng):
+    tex = jnp.asarray(rng.random((33, 47, 3), dtype=np.float32))
+    uv = jnp.asarray(rng.random((500, 2), dtype=np.float32)) * 1.4 - 0.2
+    for mode in (sampling.CLAMP_TO_EDGE, sampling.REPEAT):
+        ref = sampling.sample_bilinear(tex, uv, mode)
+        rows = sampling.build_quad_rows(tex, mode)
+        out = sampling.sample_quad_rows(rows, uv, 33, 47, 3, mode)
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_quad_rows_uint8_layers(rng):
+    tex = jnp.asarray(rng.integers(0, 256, (3, 16, 16, 4)).astype(np.uint8))
+    uv = jnp.asarray(rng.random((300, 2), dtype=np.float32))
+    layer = jnp.asarray(rng.integers(0, 3, 300).astype(np.int32))
+    ref = sampling.sample_array_bilinear(tex, layer, uv, sampling.REPEAT)
+    rows = jnp.concatenate(
+        [sampling.build_quad_rows(tex[i], sampling.REPEAT) for i in range(3)]
+    )
+    out = sampling.sample_quad_rows(
+        rows, uv, 16, 16, 4, sampling.REPEAT, base=layer * 256
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_cube_quad_matches_cubemap(rng):
+    faces = jnp.asarray(rng.random((6, 16, 16, 3), dtype=np.float32))
+    dirs = _rand_dirs(rng, 800)
+    ref = sampling.sample_cubemap(faces, dirs)
+    rows = sampling.build_cube_quad_rows(faces)
+    out = sampling.sample_cubemap_quad(rows, 16, 3, dirs)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_mipcube_quad_matches_lod(rng):
+    mips = [
+        jnp.asarray(rng.random((6, s, s, 3), dtype=np.float32))
+        for s in (16, 8, 4)
+    ]
+    mc = sampling.MipCube(mips)
+    mq = sampling.MipCubeQuad(mc)
+    dirs = _rand_dirs(rng, 500)
+    lod = jnp.asarray(rng.random(500, dtype=np.float32) * 2.5)
+    ref = sampling.sample_mipcube_lod(mc, dirs, lod)
+    out = sampling.sample_mipcube_quad_lod(mq, dirs, lod)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_sh9_reconstructs_irradiance(rng):
+    # smooth synthetic environment -> irradiance -> SH9 vs cube sampling
+    equirect = jnp.asarray(
+        0.5
+        + 0.4 * np.sin(np.linspace(0, np.pi, 32))[:, None, None]
+        * np.ones((32, 64, 3), np.float32)
+    )
+    env = ibl.equirect_to_cubemap(equirect, 16)[..., :3]
+    irr = ibl.irradiance_map(env, 16)
+    coeffs = ibl.sh9_project_cube(irr)
+    dirs = _rand_dirs(rng, 2000)
+    ref = sampling.sample_cubemap(irr, dirs)
+    out = ibl.sh9_eval(coeffs, dirs)
+    err = np.abs(np.asarray(out) - np.asarray(ref)).mean()
+    scale = float(np.abs(np.asarray(ref)).mean()) + 1e-9
+    assert err / scale < 0.03, f"relative error {err / scale}"
