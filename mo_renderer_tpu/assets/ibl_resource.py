@@ -42,9 +42,9 @@ class IBLMaps:
     irradiance_faces: jnp.ndarray  # (6, I, I, 3)
     specular_mips: MipCube
     brdf_lut: jnp.ndarray  # (B, B, 3)
-    env_quad_rows: jnp.ndarray  # (6*S*S, 12)
-    specular_quad: "object"  # sampling.MipCubeQuad
-    lut_quad_rows: jnp.ndarray  # (B*B, 8) — scale/bias channels only
+    env_quad_rows: jnp.ndarray  # (6*S*S, 4) uint32 RGBE quads
+    specular_quad: "object"  # sampling.MipCubeQuad (RGBE)
+    lut_quad_rows: jnp.ndarray  # (B'*B', 8) f32 — scale/bias, B' <= 128
     irradiance_sh9: jnp.ndarray  # (9, 3)
 
     def tree_flatten(self):
@@ -58,19 +58,30 @@ class IBLMaps:
 
 
 def _derive_fast_maps(env, irr, spec, lut):
-    """Build the gather-minimal layouts from the base IBL maps."""
+    """Build the gather-minimal layouts from the base IBL maps.
+
+    HDR cubes pack to RGBE uint32 quads (16-byte rows — the fast gather
+    tier).  The BRDF LUT is box-downsampled to <=128^2 so its quad table
+    fits the VMEM-resident gather tier (<=64K rows): the integrand is
+    smooth, so the resolution loss is ~1e-3.
+    """
     from ..device.sampling import (
         CLAMP_TO_EDGE,
         MipCubeQuad,
-        build_cube_quad_rows,
+        build_cube_quad_rows_rgbe,
         build_quad_rows,
     )
     from ..kernels.ibl import sh9_project_cube
 
+    b = lut.shape[0]
+    lut_sb = lut[..., :2]
+    if b > 128:
+        k = b // 128
+        lut_sb = lut_sb.reshape(128, k, 128, k, 2).mean(axis=(1, 3))
     return dict(
-        env_quad_rows=build_cube_quad_rows(env),
+        env_quad_rows=build_cube_quad_rows_rgbe(env),
         specular_quad=MipCubeQuad(spec),
-        lut_quad_rows=build_quad_rows(lut[..., :2], CLAMP_TO_EDGE),
+        lut_quad_rows=build_quad_rows(lut_sb, CLAMP_TO_EDGE),
         irradiance_sh9=sh9_project_cube(irr),
     )
 

@@ -117,6 +117,9 @@ MAT_METALLIC_FACTOR = 18
 MAT_ROUGHNESS_FACTOR = 19
 MAT_ALPHA_MODE = 20
 MAT_ALPHA_CUTOFF = 21
+# id of this material's quad-packed texture stack entry (scene packing
+# dedupes materials that share all five texture layers)
+MAT_STACK_ID = 22
 MATERIAL_STRIDE = 24  # padded
 
 

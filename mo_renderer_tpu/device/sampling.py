@@ -371,6 +371,26 @@ def sample_quad_rows(rows, uv, h: int, w: int, c: int,
     return quad_lerp(quad, fx, fy, c)
 
 
+def build_window_rows_2x4(img):
+    """(H, W) -> (H*W, 8) rows [t(y, x..x+3), t(y+1, x..x+3)] (clamped).
+
+    Two of these rows (at y-1 and y+1, column x-1) reconstruct the full
+    4x4 neighborhood of texel (y, x) — the PCF footprint — in 2 gathers.
+    """
+    def shift_x(t, k):
+        if k == 0:
+            return t
+        return jnp.concatenate([t[:, k:], jnp.repeat(t[:, -1:], k, axis=1)], axis=1)
+
+    def shift_y(t):
+        return jnp.concatenate([t[1:], t[-1:]], axis=0)
+
+    rows0 = [shift_x(img, k) for k in range(4)]
+    down = shift_y(img)
+    rows1 = [shift_x(down, k) for k in range(4)]
+    return jnp.stack(rows0 + rows1, axis=-1).reshape(-1, 8)
+
+
 def build_cube_quad_rows(faces):
     """(6, S, S, C) -> (6*S*S, 4*C) clamped quad rows, face-major."""
     return jnp.concatenate(
@@ -387,12 +407,89 @@ def sample_cubemap_quad(rows, s: int, c: int, dirs):
     return quad_lerp(quad, fx, fy, c)
 
 
+# --- RGBE shared-exponent packing ------------------------------------------
+#
+# HDR cube maps (environment, prefiltered specular) stored as quad rows of
+# f32 RGB are 48-byte rows — a slow tier of XLA's TPU gather emitter.
+# Radiance-style RGBE packs a texel into ONE uint32 (8-bit mantissas +
+# shared exponent, <=0.4% relative error), putting a whole 2x2 quad in a
+# 16-byte row (the fast tier).  Ambient/sky terms tolerate 0.4% easily.
+
+def pack_rgbe(rgb):
+    """(..., 3) f32 >= 0 -> (...,) uint32 RGBE."""
+    m = jnp.max(rgb, axis=-1)
+    e = jnp.floor(jnp.log2(jnp.maximum(m, 1e-32))) + 1.0
+    scale = jnp.exp2(-e) * 256.0
+    mant = jnp.clip(
+        jnp.floor(rgb * scale[..., None]), 0.0, 255.0
+    ).astype(jnp.uint32)
+    packed = (
+        mant[..., 0]
+        | (mant[..., 1] << 8)
+        | (mant[..., 2] << 16)
+        | ((e.astype(jnp.int32) + 128).clip(1, 255).astype(jnp.uint32) << 24)
+    )
+    return jnp.where(m > 0.0, packed, jnp.uint32(0))
+
+
+def unpack_rgbe(v):
+    """(...,) uint32 RGBE -> (..., 3) f32."""
+    e = (v >> 24).astype(jnp.int32)
+    scale = jnp.where(e > 0, jnp.exp2(e.astype(jnp.float32) - 128.0 - 8.0), 0.0)
+    rgb = jnp.stack(
+        [
+            ((v >> s) & 0xFF).astype(jnp.float32) + 0.5
+            for s in (0, 8, 16)
+        ],
+        axis=-1,
+    )
+    return rgb * scale[..., None]
+
+
+def quad_lerp_rgbe(quad_u32, fx, fy):
+    """quad (..., 4) uint32 RGBE -> bilinear (..., 3)."""
+    t00 = unpack_rgbe(quad_u32[..., 0])
+    t10 = unpack_rgbe(quad_u32[..., 1])
+    t01 = unpack_rgbe(quad_u32[..., 2])
+    t11 = unpack_rgbe(quad_u32[..., 3])
+    fx = fx[..., None]
+    fy = fy[..., None]
+    top = t00 * (1 - fx) + t10 * fx
+    bot = t01 * (1 - fx) + t11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def build_cube_quad_rows_rgbe(faces):
+    """(6, S, S, C>=3) HDR cube -> (6*S*S, 4) uint32 RGBE quad rows."""
+    packed = pack_rgbe(faces[..., :3])  # (6, S, S) u32
+    rows = []
+    for f in range(6):
+        t = packed[f]
+        xs = jnp.concatenate([t[:, 1:], t[:, -1:]], axis=1)
+        ys = jnp.concatenate([t[1:], t[-1:]], axis=0)
+        xys = jnp.concatenate([xs[1:], xs[-1:]], axis=0)
+        rows.append(
+            jnp.stack([t, xs, ys, xys], axis=-1).reshape(-1, 4)
+        )
+    return jnp.concatenate(rows, axis=0)
+
+
+def sample_cubemap_quad_rgbe(rows, s: int, dirs):
+    """Bilinear HDR cubemap sample: ONE 16-byte-row gather."""
+    face, u, v = cube_face_uv(dirs)
+    uv = jnp.stack([u, v], axis=-1)
+    idx, fx, fy = bilinear_weights(uv, s, s, CLAMP_TO_EDGE)
+    quad = jnp.take(rows, idx + face * (s * s), axis=0)
+    return quad_lerp_rgbe(quad, fx, fy)
+
+
 @jax.tree_util.register_pytree_node_class
 class MipCubeQuad:
-    """Quad-packed cubemap mip chain: trilinear LOD in TWO gathers.
+    """RGBE quad-packed cubemap mip chain: trilinear LOD in TWO 16-byte
+    row gathers (the fast tier of XLA's TPU gather emitter).
 
-    ``rows``: (total_texels, 4*C) quad rows, mips concatenated in the same
-    face-major order as MipCube."""
+    ``rows``: (total_texels, 4) uint32 RGBE quads, mips concatenated in
+    the same face-major order as MipCube."""
 
     def __init__(self, mipcube=None, _rows=None, _sizes=None, _offsets=None):
         if mipcube is None:
@@ -406,7 +503,7 @@ class MipCubeQuad:
         self.num_levels = mipcube.num_levels
         self.rows = jnp.concatenate(
             [
-                build_cube_quad_rows(mipcube.level(m))
+                build_cube_quad_rows_rgbe(mipcube.level(m))
                 for m in range(mipcube.num_levels)
             ],
             axis=0,
@@ -424,8 +521,8 @@ class MipCubeQuad:
         return cls(_rows=children[0], _sizes=sizes, _offsets=offsets)
 
 
-def _sample_mipcube_quad_level(rows, sizes, offsets, level, face, u, v, c):
-    """Bilinear sample at per-pixel integer mip `level`: ONE gather."""
+def _sample_mipcube_quad_level(rows, sizes, offsets, level, face, u, v):
+    """RGBE bilinear sample at per-pixel integer mip `level`: ONE gather."""
     s = jnp.take(sizes, level)
     off = jnp.take(offsets, level)
     x = u * s - 0.5
@@ -438,12 +535,11 @@ def _sample_mipcube_quad_level(rows, sizes, offsets, level, face, u, v, c):
     y0i = jnp.clip(y0.astype(jnp.int32), 0, s - 1)
     idx = off + face * s * s + y0i * s + x0i
     quad = jnp.take(rows, idx, axis=0)
-    return quad_lerp(quad, fx, fy, c)
+    return quad_lerp_rgbe(quad, fx, fy)
 
 
 def sample_mipcube_quad_lod(mq: MipCubeQuad, dirs, lod):
-    """GLSL textureLod on a quad-packed cubemap (2 gathers vs 8)."""
-    c = mq.rows.shape[-1] // 4
+    """GLSL textureLod on an RGBE quad-packed cubemap (2 gathers vs 8)."""
     sizes = jnp.asarray(mq.sizes)
     offsets = jnp.asarray(mq.offsets)
     nl = mq.num_levels
@@ -452,8 +548,8 @@ def sample_mipcube_quad_lod(mq: MipCubeQuad, dirs, lod):
     l0 = jnp.floor(lod).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, nl - 1)
     f = (lod - l0.astype(lod.dtype))[..., None]
-    c0 = _sample_mipcube_quad_level(mq.rows, sizes, offsets, l0, face, u, v, c)
-    c1 = _sample_mipcube_quad_level(mq.rows, sizes, offsets, l1, face, u, v, c)
+    c0 = _sample_mipcube_quad_level(mq.rows, sizes, offsets, l0, face, u, v)
+    c1 = _sample_mipcube_quad_level(mq.rows, sizes, offsets, l1, face, u, v)
     return c0 * (1 - f) + c1 * f
 
 

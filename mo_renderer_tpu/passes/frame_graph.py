@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import EngineConfig
-from ..device.sampling import CLAMP_TO_EDGE, build_quad_rows
+from ..device.sampling import build_window_rows_2x4
 from ..kernels.raster_setup import bin_triangles, triangle_setup
 from ..kernels.rasterizer import rasterize
 from ..scene.camera import Camera
@@ -161,7 +161,7 @@ def frame_program(
     # --- shading + skybox + tonemap ---------------------------------------
     if fast:
         shadow_quads = (
-            build_quad_rows(shadow_map[..., None], CLAMP_TO_EDGE)
+            build_window_rows_2x4(shadow_map)
             if shadow_map is not None
             else None
         )
@@ -247,10 +247,14 @@ class Renderer:
         light_pv, has_light = find_shadow_light(world)
         return build_camera_params(camera, light_pv), has_light
 
-    def render(self, world) -> np.ndarray:
+    def render_device(self, world):
+        """One frame, left on device — the swapchain-present analog
+        (the reference never reads frames back either)."""
         params, has_light = self.frame_params(world)
         ibl_maps = self.ibl.maps() if self.ibl is not None else None
-        rgba = self._frame_fn(
+        return self._frame_fn(
             self.scene, ibl_maps, params, has_shadow_light=has_light
         )
-        return np.asarray(rgba)
+
+    def render(self, world) -> np.ndarray:
+        return np.asarray(self.render_device(world))

@@ -198,7 +198,8 @@ def _select3(k, v0, v1, v2):
 
 
 def calculate_shadow_fast(world_pos, light_proj_view, shadow_quad_rows, s):
-    """PCF via one 4x4 window (4 quad gathers), all 9 taps arithmetic."""
+    """PCF via one 4x4 window (TWO 2x4 wide-row gathers,
+    sampling.build_window_rows_2x4), all 9 Poisson taps arithmetic."""
     p = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], -1)
     lp = p @ light_proj_view.T
     wc = jnp.where(jnp.abs(lp[..., 3]) > 1e-20, lp[..., 3], 1.0)
@@ -217,20 +218,18 @@ def calculate_shadow_fast(world_pos, light_proj_view, shadow_quad_rows, s):
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    def quad(dy, dx):  # rows (y0+dy, y0+dy+1) x cols (x0+dx, x0+dx+1)
-        idx = (y0i + dy) * s + (x0i + dx)
-        return jnp.take(shadow_quad_rows, idx, axis=0)  # (..., 4)
+    def wide(dy):  # rows (y0+dy, y0+dy+1) x cols (x0-1 .. x0+2), 8 values
+        idx = (y0i + dy) * s + (x0i - 1)
+        return jnp.take(shadow_quad_rows, idx, axis=0)  # (..., 8)
 
-    q_tl = quad(-1, -1)
-    q_tr = quad(-1, 1)
-    q_bl = quad(1, -1)
-    q_br = quad(1, 1)
+    g_top = wide(-1)
+    g_bot = wide(1)
     # W[r][c] = depth at (y0-1+r, x0-1+c), r,c in 0..3
     w_rows = [
-        [q_tl[..., 0], q_tl[..., 1], q_tr[..., 0], q_tr[..., 1]],
-        [q_tl[..., 2], q_tl[..., 3], q_tr[..., 2], q_tr[..., 3]],
-        [q_bl[..., 0], q_bl[..., 1], q_br[..., 0], q_br[..., 1]],
-        [q_bl[..., 2], q_bl[..., 3], q_br[..., 2], q_br[..., 3]],
+        [g_top[..., c] for c in range(4)],
+        [g_top[..., 4 + c] for c in range(4)],
+        [g_bot[..., c] for c in range(4)],
+        [g_bot[..., 4 + c] for c in range(4)],
     ]
 
     texel = 1.0 / s
@@ -268,10 +267,10 @@ def ibl_ambient_fast(gbuf, eye_pos, ibl):
     irradiance = sh9_eval(ibl.irradiance_sh9, gbuf.normal)
     r = brdf.ibl_reflection_dir(gbuf.position, gbuf.normal, eye_pos)
     lod = gbuf.orm[..., 1] * MAX_REFLECTION_LOD
-    prefiltered = sampling.sample_mipcube_quad_lod(ibl.specular_quad, r, lod)[..., :3]
+    prefiltered = sampling.sample_mipcube_quad_lod(ibl.specular_quad, r, lod)
     v = brdf.normalize(eye_pos - gbuf.position, eps=1e-20)
     ndotv = jnp.maximum(brdf.dot3(gbuf.normal, v), 0.0)
-    b = ibl.brdf_lut.shape[0]
+    b = int(round(ibl.lut_quad_rows.shape[0] ** 0.5))
     lut_uv = jnp.stack([ndotv, 1.0 - gbuf.orm[..., 1]], axis=-1)
     lut = sampling.sample_quad_rows(
         ibl.lut_quad_rows, lut_uv, b, b, 2, sampling.CLAMP_TO_EDGE
@@ -299,7 +298,7 @@ def skybox_color_fast(height, width, camera_basis, ibl):
         jnp.sqrt(jnp.maximum(jnp.sum(d * d, -1, keepdims=True), 1e-20))
     )
     s = ibl.environment_faces.shape[1]
-    return sampling.sample_cubemap_quad(ibl.env_quad_rows, s, 3, d)
+    return sampling.sample_cubemap_quad_rgbe(ibl.env_quad_rows, s, d)
 
 
 def shading_pass_fast(

@@ -11,6 +11,7 @@ padded to static capacities so the whole frame can live under one jit.
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 
 import jax
 import jax.numpy as jnp
@@ -18,6 +19,7 @@ import numpy as np
 
 from ..assets.default_textures import DefaultTextures
 from ..assets.image_io import resize_rgba
+from ..assets import materials as pack_M
 from ..assets.materials import DEFAULT_TEXTURE_MAP, MATERIAL_STRIDE, pack_material_gpu
 from ..assets.model import Model
 from ..config import EngineConfig
@@ -72,10 +74,14 @@ class SceneBuffers:
     materials: jnp.ndarray  # (MAT, MATERIAL_STRIDE) f32
     textures: jnp.ndarray  # (L, S, S, 4) uint8
     # quad-packed per-material texture stack: row (m*S*S + y*S + x) holds
-    # the 2x2 bilinear quad (REPEAT wrap baked in) of all 5 material slots
-    # (base, normal, mr, occlusion, emissive) as 20 packed-RGBA uint32s —
-    # every texture tap for a pixel is ONE gather (see passes/gbuffer.py).
-    texture_stack: jnp.ndarray  # (M_used*S*S, 20) uint32
+    # the 2x2 bilinear quad (REPEAT wrap baked in) of the 5 material slots
+    # (base, normal, mr, occlusion, emissive) as packed-RGBA uint32s, split
+    # into 8/8/4-wide arrays because XLA's TPU gather emitter has a fast
+    # tier for rows <= 32 bytes — 3 gathers fetch all 5 texture samples of
+    # a pixel (see passes/gbuffer.py).
+    texture_stack_a: jnp.ndarray  # (M_used*S*S, 8) uint32: base+normal
+    texture_stack_b: jnp.ndarray  # (M_used*S*S, 8) uint32: mr+occlusion
+    texture_stack_c: jnp.ndarray  # (M_used*S*S, 4) uint32: emissive
 
     # lights
     lights: jnp.ndarray  # (max_lights, 20) f32 GpuLight rows
@@ -100,6 +106,7 @@ def pack_scene(world, config: EngineConfig) -> SceneBuffers:
     mesh_worlds, mesh_normals, mesh_materials = [], [], []
     material_rows = []
     material_slot_layers: list[tuple] = []
+    stack_ids: dict[tuple, int] = {}
     texture_images: list[np.ndarray] = []
 
     defaults = world.get_resource(DefaultTextures)
@@ -108,10 +115,17 @@ def pack_scene(world, config: EngineConfig) -> SceneBuffers:
 
     # default layers mirror create_defaults + add_model fallbacks
     # (gbuffer_pass.rs:654-754): base->white, normal->flat, mr->default MR,
-    # occlusion->white, emissive->black
+    # occlusion->white, emissive->black.  Layers are deduped by content so
+    # repeated procedural/shared images cost one layer (and one quad-stack
+    # entry) instead of one per model.
+    image_ids: dict[bytes, int] = {}
+
     def add_texture(img: np.ndarray) -> int:
-        texture_images.append(img)
-        return len(texture_images) - 1
+        key = hashlib.sha1(np.ascontiguousarray(img)).digest()
+        if key not in image_ids:
+            image_ids[key] = len(texture_images)
+            texture_images.append(img)
+        return image_ids[key]
 
     layer_white = add_texture(defaults.white)
     layer_flat_normal = add_texture(defaults.flat_normal)
@@ -153,10 +167,15 @@ def pack_scene(world, config: EngineConfig) -> SceneBuffers:
                 resolve(mat.emissive_texture, "emissive"),
             )
             row = pack_material_gpu(mat, *slot_layers)
+            # dedupe texture stacks: materials sharing all 5 layers share
+            # one stack entry (the stack costs S*S*80 bytes per entry)
+            if slot_layers not in stack_ids:
+                stack_ids[slot_layers] = len(material_slot_layers)
+                material_slot_layers.append(slot_layers)
+            row[pack_M.MAT_STACK_ID] = stack_ids[slot_layers]
             mesh.gpu_mat_index = len(material_rows)
             mesh_materials.append(mesh.gpu_mat_index)
             material_rows.append(row)
-            material_slot_layers.append(slot_layers)
 
             prim = mesh.primitive
             n = prim.num_vertices
@@ -221,16 +240,22 @@ def pack_scene(world, config: EngineConfig) -> SceneBuffers:
             quad_cache[layer] = _quad_u32(layers[layer])
         return quad_cache[layer]
 
-    if material_slot_layers:
-        texture_stack = np.concatenate(
-            [
-                np.concatenate([quad_of(l) for l in slots], axis=-1)
-                for slots in material_slot_layers
-            ],
-            axis=0,
-        )
-    else:
-        texture_stack = np.zeros((s * s, 20), np.uint32)
+    def stack_slots(a, b):
+        if material_slot_layers:
+            return np.concatenate(
+                [
+                    np.concatenate(
+                        [quad_of(l) for l in slots[a:b]], axis=-1
+                    )
+                    for slots in material_slot_layers
+                ],
+                axis=0,
+            )
+        return np.zeros((s * s, 4 * (b - a)), np.uint32)
+
+    stack_a = stack_slots(0, 2)  # base + normal
+    stack_b = stack_slots(2, 4)  # mr + occlusion
+    stack_c = stack_slots(4, 5)  # emissive
 
     # lights (shading_pass.rs:653-719 packing order: world iteration order)
     light_rows = []
@@ -269,7 +294,9 @@ def pack_scene(world, config: EngineConfig) -> SceneBuffers:
             )
         ),
         textures=as_j(tex_array),
-        texture_stack=as_j(texture_stack),
+        texture_stack_a=as_j(stack_a),
+        texture_stack_b=as_j(stack_b),
+        texture_stack_c=as_j(stack_c),
         lights=as_j(lights),
         num_lights=jnp.asarray(len(light_rows), jnp.int32),
     )

@@ -61,9 +61,34 @@ def test_mipcube_quad_matches_lod(rng):
     mq = sampling.MipCubeQuad(mc)
     dirs = _rand_dirs(rng, 500)
     lod = jnp.asarray(rng.random(500, dtype=np.float32) * 2.5)
-    ref = sampling.sample_mipcube_lod(mc, dirs, lod)
-    out = sampling.sample_mipcube_quad_lod(mq, dirs, lod)
-    np.testing.assert_allclose(out, ref, atol=1e-5)
+    ref = np.asarray(sampling.sample_mipcube_lod(mc, dirs, lod))[..., :3]
+    out = np.asarray(sampling.sample_mipcube_quad_lod(mq, dirs, lod))
+    # RGBE packing: <=0.4% relative error on the max channel
+    np.testing.assert_allclose(out, ref, atol=0.01)
+
+
+def test_rgbe_roundtrip(rng):
+    rgb = jnp.asarray(
+        rng.random((1000, 3), dtype=np.float32) * 40.0
+    )
+    out = np.asarray(sampling.unpack_rgbe(sampling.pack_rgbe(rgb)))
+    ref = np.asarray(rgb)
+    m = ref.max(-1, keepdims=True)
+    assert (np.abs(out - ref) <= m / 256.0 + 1e-6).all()
+    # zeros stay zeros
+    z = sampling.unpack_rgbe(sampling.pack_rgbe(jnp.zeros((4, 3))))
+    assert np.asarray(z).max() == 0.0
+
+
+def test_window_rows_2x4(rng):
+    img = jnp.asarray(rng.random((9, 13), dtype=np.float32))
+    rows = np.asarray(sampling.build_window_rows_2x4(img))
+    ref = np.asarray(img)
+    for y, x in [(0, 0), (3, 5), (8, 12), (7, 11)]:
+        row = rows[y * 13 + x]
+        for k in range(4):
+            assert row[k] == ref[min(y, 8), min(x + k, 12)]
+            assert row[4 + k] == ref[min(y + 1, 8), min(x + k, 12)]
 
 
 def test_sh9_reconstructs_irradiance(rng):
