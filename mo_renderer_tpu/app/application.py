@@ -138,14 +138,25 @@ class App:
         self.frame_index += 1
         return frame
 
-    def run(self, num_frames: int = 1, on_frame=None) -> np.ndarray:
-        """Headless frame loop; returns the last frame."""
+    def run(self, num_frames: int = 1, on_frame=None,
+            profile_dir: str | None = None) -> np.ndarray:
+        """Headless frame loop; returns the last frame.
+
+        profile_dir: capture a jax.profiler (TensorBoard) trace of the
+        loop — the XLA-level analog of the reference's tracing subscriber.
+        """
         self.resumed()
+        import contextlib
+
+        from ..utils import profile_trace
+
+        ctx = profile_trace(profile_dir) if profile_dir else contextlib.nullcontext()
         frame = None
-        for _ in range(num_frames):
-            frame = self.render_frame()
-            if on_frame is not None:
-                on_frame(self.frame_index - 1, frame)
+        with ctx:
+            for _ in range(num_frames):
+                frame = self.render_frame()
+                if on_frame is not None:
+                    on_frame(self.frame_index - 1, frame)
         return frame
 
     def save_frame(self, path: str, frame: np.ndarray | None = None) -> None:

@@ -26,7 +26,7 @@ from .gbuffer import gbuffer_pass, gbuffer_pass_fast
 from .present import present_pass
 from .shading import shading_pass, shading_pass_fast
 from .ssao import ssao_pass
-from .vertex_stage import pack_triangle_attributes, run_vertex_stage
+from .vertex_stage import run_vertex_stage
 
 logger = logging.getLogger("mo_renderer_tpu")
 
@@ -144,9 +144,8 @@ def frame_program(
         tile_h=cfg.tile_h, tile_w=cfg.tile_w,
     )
     if fast:
-        tri_attrs = pack_triangle_attributes(scene, vs)
         gbuf = gbuffer_pass_fast(
-            tri, z, b0, b1, scene, tri_attrs, params,
+            tri, z, b0, b1, scene, scene.tri_attrs, params,
             stack_size=cfg.texture_array_size,
         )
     else:

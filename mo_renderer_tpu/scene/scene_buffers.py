@@ -83,9 +83,15 @@ class SceneBuffers:
     texture_stack_b: jnp.ndarray  # (M_used*S*S, 8) uint32: mr+occlusion
     texture_stack_c: jnp.ndarray  # (M_used*S*S, 4) uint32: emissive
 
-    # lights
-    lights: jnp.ndarray  # (max_lights, 20) f32 GpuLight rows
+    # lights (padded to a multiple of 4, NOT to max_lights: the shading
+    # loop is static over this shape)
+    lights: jnp.ndarray  # (L_pad, 20) f32 GpuLight rows
     num_lights: jnp.ndarray  # () int32
+
+    # per-triangle packed corner attributes (vertex_stage.TRI_* layout),
+    # derived once at pack time — world-space geometry is frame-invariant
+    # because entity transforms are baked into mesh_world here.
+    tri_attrs: jnp.ndarray  # (T, 56) f32
 
     def tree_flatten(self):
         return tuple(
@@ -264,12 +270,13 @@ def pack_scene(world, config: EngineConfig) -> SceneBuffers:
             light_rows.append(light.gpu_light())
     if len(light_rows) > config.max_lights:
         raise ValueError(f"too many lights ({len(light_rows)})")
-    lights = np.zeros((config.max_lights, GPU_LIGHT_STRIDE), np.float32)
+    l_pad = _round_up(max(len(light_rows), 1), 4)
+    lights = np.zeros((l_pad, GPU_LIGHT_STRIDE), np.float32)
     for i, row in enumerate(light_rows):
         lights[i] = row
 
     as_j = jnp.asarray
-    return SceneBuffers(
+    scene = SceneBuffers(
         position=as_j(_pad_rows(position, v_pad)),
         normal=as_j(_pad_rows(v_cat(normals).astype(np.float32), v_pad)),
         color=as_j(_pad_rows(v_cat(colors).astype(np.float32), v_pad)),
@@ -299,7 +306,23 @@ def pack_scene(world, config: EngineConfig) -> SceneBuffers:
         texture_stack_c=as_j(stack_c),
         lights=as_j(lights),
         num_lights=jnp.asarray(len(light_rows), jnp.int32),
+        tri_attrs=jnp.zeros((t_pad, 1), jnp.float32),  # placeholder
     )
+
+    # derive the packed per-triangle corner attributes ONCE (world-space
+    # geometry is frame-invariant; identity matrices — only the world_*
+    # vertex outputs are consumed)
+    from ..passes.vertex_stage import (
+        pack_triangle_attributes,
+        run_vertex_stage,
+    )
+
+    eye = jnp.eye(4, dtype=jnp.float32)
+    vs0 = run_vertex_stage(scene, eye, eye, eye)
+    scene = dataclasses.replace(
+        scene, tri_attrs=jax.jit(pack_triangle_attributes)(scene, vs0)
+    )
+    return scene
 
 
 def find_shadow_light(world):
