@@ -120,7 +120,13 @@ MAT_ALPHA_CUTOFF = 21
 # id of this material's quad-packed texture stack entry (scene packing
 # dedupes materials that share all five texture layers)
 MAT_STACK_ID = 22
-MATERIAL_STRIDE = 24  # padded
+# Per-slot constant RGBA (cols 24..43): when a slot's texture layer is a
+# uniform color for EVERY material in the scene, scene packing marks the
+# slot constant and the G-buffer pass reads this value instead of
+# gathering from the texture stack (slot order: base, normal, mr,
+# occlusion, emissive).
+MAT_CONST_BASE = 24  # + 4 * slot
+MATERIAL_STRIDE = 48  # padded
 
 
 def pack_material_gpu(

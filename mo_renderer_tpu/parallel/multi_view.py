@@ -97,6 +97,7 @@ class MultiViewRenderer:
                     binned_cap=inner._binned_cap,
                     has_shadow_light=has_shadow_light,
                     fast_sampling=inner._fast,
+                    slot_map=inner._slot_map,
                 )
                 for i in range(v_local)
             ]

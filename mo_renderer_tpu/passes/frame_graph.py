@@ -80,6 +80,7 @@ def frame_program(
     has_shadow_light,
     extra_passes=(),
     fast_sampling=None,
+    slot_map=None,
 ):
     """One full deferred frame as a pure function over pytrees.
 
@@ -144,9 +145,14 @@ def frame_program(
         tile_h=cfg.tile_h, tile_w=cfg.tile_w,
     )
     if fast:
+        if slot_map is None:
+            raise ValueError(
+                "fast_sampling requires slot_map (the host-read value of "
+                "scene.stack_slots — see Renderer.prepare)"
+            )
         gbuf = gbuffer_pass_fast(
             tri, z, b0, b1, scene, scene.tri_attrs, params,
-            stack_size=cfg.texture_array_size,
+            stack_size=cfg.texture_array_size, slot_map=slot_map,
         )
     else:
         gbuf = gbuffer_pass(tri, z, b0, b1, scene, vs)
@@ -211,6 +217,10 @@ class Renderer:
         # scenes using UV1 (rare) fall back to the reference samplers
         uses_uv1 = bool(np.asarray(self.scene.materials[:, 5:10]).any())
         self._fast = self.config.fast_sampling and not uses_uv1
+        # static layout of the texture stacks (host-read once)
+        self._slot_map = tuple(
+            int(x) for x in np.asarray(self.scene.stack_slots)
+        )
         if self.config.fast_sampling and uses_uv1:
             logger.info("scene uses UV set 1: reference sampling path")
         self._frame_fn = self._build_frame_fn()
@@ -227,6 +237,7 @@ class Renderer:
         binned_cap = self._binned_cap
         extra_passes = tuple(self.extra_passes)
         fast = self._fast
+        slot_map = self._slot_map
 
         @functools.partial(jax.jit, static_argnames=("has_shadow_light",))
         def frame(scene, ibl, params, has_shadow_light):
@@ -236,6 +247,7 @@ class Renderer:
                 has_shadow_light=has_shadow_light,
                 extra_passes=extra_passes,
                 fast_sampling=fast,
+                slot_map=slot_map,
             )
 
         return frame

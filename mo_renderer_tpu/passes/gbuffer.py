@@ -172,18 +172,23 @@ def _ndc01(c):
 
 
 def gbuffer_pass_fast(tri, z, b0, b1, scene, tri_attrs, params,
-                      stack_size: int) -> GBuffer:
-    """Gather-minimal G-buffer: 3 gathers per pixel total.
+                      stack_size: int,
+                      slot_map: tuple = (0, 1, 2, 3, 4)) -> GBuffer:
+    """Gather-minimal G-buffer: typically 2-4 gathers per pixel total.
 
     1. one (T, 56) row gather for all corner attributes (packed by
        vertex_stage.pack_triangle_attributes),
-    2. one material-table row gather (tiny table),
-    3. one texture-stack quad gather for all 5 material texture slots.
+    2. the material row via a one-hot MXU matmul (no gather),
+    3. 0-3 texture-stack quad gathers covering the SAMPLED slots;
+       constant slots (slot_map[k] < 0, i.e. the slot's layer is a
+       uniform color for every material) read their per-material
+       constant from the material table instead.
 
     Clip/prev-clip positions and corner 1/w are recomputed per pixel from
     world position (exact — they are linear in it).  Texturing assumes
     every slot samples UV set 0 (the caller falls back to gbuffer_pass
-    when a material uses UV1).
+    when a material uses UV1).  ``slot_map`` must be the scene's
+    ``stack_slots`` (host-read): it is the static layout of the stacks.
     """
     covered = tri >= 0
     t = jnp.maximum(tri, 0)
@@ -244,27 +249,32 @@ def gbuffer_pass_fast(tri, z, b0, b1, scene, tri_attrs, params,
         precision=jax.lax.Precision.HIGHEST,
     )
 
-    # THREE texture-stack gathers for all five slots (8/8/4-wide rows)
+    # texture-stack gathers over the sampled slots only
     s = stack_size
-    stack_id = mat[..., M.MAT_STACK_ID].astype(jnp.int32)
-    idx, fx, fy = sampling.bilinear_weights(uv0, s, s, sampling.REPEAT)
-    idx = idx + stack_id * (s * s)
-    stack_row = jnp.concatenate(
-        [
-            jnp.take(scene.texture_stack_a, idx, axis=0),
-            jnp.take(scene.texture_stack_b, idx, axis=0),
-            jnp.take(scene.texture_stack_c, idx, axis=0),
-        ],
-        axis=-1,
-    )  # (H, W, 20) uint32
-
-    w00 = (1 - fx) * (1 - fy)
-    w10 = fx * (1 - fy)
-    w01 = (1 - fx) * fy
-    w11 = fx * fy
+    n_sampled = sum(1 for p in slot_map if p >= 0)
+    if n_sampled > 0:
+        stack_id = mat[..., M.MAT_STACK_ID].astype(jnp.int32)
+        idx, fx, fy = sampling.bilinear_weights(uv0, s, s, sampling.REPEAT)
+        idx = idx + stack_id * (s * s)
+        groups = [scene.texture_stack_a]
+        if n_sampled > 2:
+            groups.append(scene.texture_stack_b)
+        if n_sampled > 4:
+            groups.append(scene.texture_stack_c)
+        stack_row = jnp.concatenate(
+            [jnp.take(g, idx, axis=0) for g in groups], axis=-1
+        )  # (H, W, 4*n_sampled) uint32
+        w00 = (1 - fx) * (1 - fy)
+        w10 = fx * (1 - fy)
+        w01 = (1 - fx) * fy
+        w11 = fx * fy
 
     def slot(k):
-        quad = stack_row[..., 4 * k : 4 * k + 4]  # [t00, t10, t01, t11] u32
+        p = slot_map[k]
+        if p < 0:  # constant layer: per-material value from the table
+            base = M.MAT_CONST_BASE + 4 * k
+            return mat[..., base : base + 4]
+        quad = stack_row[..., 4 * p : 4 * p + 4]  # [t00,t10,t01,t11] u32
         chans = []
         for shift in (0, 8, 16, 24):
             v = ((quad >> shift) & 0xFF).astype(jnp.float32) * (1.0 / 255.0)

@@ -79,9 +79,15 @@ class SceneBuffers:
     # into 8/8/4-wide arrays because XLA's TPU gather emitter has a fast
     # tier for rows <= 32 bytes — 3 gathers fetch all 5 texture samples of
     # a pixel (see passes/gbuffer.py).
-    texture_stack_a: jnp.ndarray  # (M_used*S*S, 8) uint32: base+normal
-    texture_stack_b: jnp.ndarray  # (M_used*S*S, 8) uint32: mr+occlusion
-    texture_stack_c: jnp.ndarray  # (M_used*S*S, 4) uint32: emissive
+    # Slots whose layer is a uniform color for every material are NOT in
+    # the stack (their per-material constant lives in the material table,
+    # materials.MAT_CONST_BASE); stack_slots maps slot -> position among
+    # the sampled slots (-1 = constant).  Groups a/b/c hold sampled
+    # positions 0-1 / 2-3 / 4 (each gather row <= 32 bytes, the fast tier).
+    texture_stack_a: jnp.ndarray  # (M_used*S*S, 4*k0) uint32
+    texture_stack_b: jnp.ndarray  # (M_used*S*S, 4*k1) uint32
+    texture_stack_c: jnp.ndarray  # (M_used*S*S, 4*k2) uint32
+    stack_slots: jnp.ndarray  # (5,) int32 (host-read, static per scene)
 
     # lights (padded to a multiple of 4, NOT to max_lights: the shading
     # loop is static over this shape)
@@ -112,6 +118,7 @@ def pack_scene(world, config: EngineConfig) -> SceneBuffers:
     mesh_worlds, mesh_normals, mesh_materials = [], [], []
     material_rows = []
     material_slot_layers: list[tuple] = []
+    row_slot_layers: list[tuple] = []
     stack_ids: dict[tuple, int] = {}
     texture_images: list[np.ndarray] = []
 
@@ -174,7 +181,7 @@ def pack_scene(world, config: EngineConfig) -> SceneBuffers:
             )
             row = pack_material_gpu(mat, *slot_layers)
             # dedupe texture stacks: materials sharing all 5 layers share
-            # one stack entry (the stack costs S*S*80 bytes per entry)
+            # one stack entry (the stack costs S*S bytes per slot entry)
             if slot_layers not in stack_ids:
                 stack_ids[slot_layers] = len(material_slot_layers)
                 material_slot_layers.append(slot_layers)
@@ -182,6 +189,7 @@ def pack_scene(world, config: EngineConfig) -> SceneBuffers:
             mesh.gpu_mat_index = len(material_rows)
             mesh_materials.append(mesh.gpu_mat_index)
             material_rows.append(row)
+            row_slot_layers.append(slot_layers)
 
             prim = mesh.primitive
             n = prim.num_vertices
@@ -246,22 +254,54 @@ def pack_scene(world, config: EngineConfig) -> SceneBuffers:
             quad_cache[layer] = _quad_u32(layers[layer])
         return quad_cache[layer]
 
-    def stack_slots(a, b):
-        if material_slot_layers:
-            return np.concatenate(
-                [
-                    np.concatenate(
-                        [quad_of(l) for l in slots[a:b]], axis=-1
-                    )
-                    for slots in material_slot_layers
-                ],
-                axis=0,
-            )
-        return np.zeros((s * s, 4 * (b - a)), np.uint32)
+    # constant-slot specialization: a slot whose texture layer is a
+    # uniform color for EVERY material skips the stack gather entirely;
+    # its per-material constant goes into the material table instead.
+    uniform_rgba: list = []
+    for img in layers:
+        flat = img.reshape(-1, 4)
+        uniform_rgba.append(
+            flat[0].astype(np.float32) / 255.0
+            if (flat == flat[0]).all()
+            else None
+        )
 
-    stack_a = stack_slots(0, 2)  # base + normal
-    stack_b = stack_slots(2, 4)  # mr + occlusion
-    stack_c = stack_slots(4, 5)  # emissive
+    slot_sampled = [
+        any(
+            uniform_rgba[slots[slot]] is None
+            for slots in material_slot_layers
+        )
+        for slot in range(5)
+    ]
+    slot_map = np.full(5, -1, np.int32)
+    sampled_slots = [slot for slot in range(5) if slot_sampled[slot]]
+    for pos, slot in enumerate(sampled_slots):
+        slot_map[slot] = pos
+
+    for i, row in enumerate(material_rows):
+        for slot in range(5):
+            c = uniform_rgba[row_slot_layers[i][slot]]
+            if c is not None:
+                base = pack_M.MAT_CONST_BASE + 4 * slot
+                row[base : base + 4] = c
+
+    def stack_group(lo, hi):
+        group = sampled_slots[lo:hi]
+        if not group or not material_slot_layers:
+            return np.zeros((1, 4), np.uint32)
+        return np.concatenate(
+            [
+                np.concatenate(
+                    [quad_of(slots[slot]) for slot in group], axis=-1
+                )
+                for slots in material_slot_layers
+            ],
+            axis=0,
+        )
+
+    stack_a = stack_group(0, 2)
+    stack_b = stack_group(2, 4)
+    stack_c = stack_group(4, 5)
 
     # lights (shading_pass.rs:653-719 packing order: world iteration order)
     light_rows = []
@@ -304,6 +344,7 @@ def pack_scene(world, config: EngineConfig) -> SceneBuffers:
         texture_stack_a=as_j(stack_a),
         texture_stack_b=as_j(stack_b),
         texture_stack_c=as_j(stack_c),
+        stack_slots=as_j(slot_map),
         lights=as_j(lights),
         num_lights=jnp.asarray(len(light_rows), jnp.int32),
         tri_attrs=jnp.zeros((t_pad, 1), jnp.float32),  # placeholder

@@ -29,9 +29,11 @@ def test_fast_frame_matches_reference():
         binned_cap=r._binned_cap, has_shadow_light=True,
     )
     fast = np.asarray(
-        jax.jit(functools.partial(base, fast_sampling=True))(
-            r.scene, ibl, params
-        )
+        jax.jit(
+            functools.partial(
+                base, fast_sampling=True, slot_map=r._slot_map
+            )
+        )(r.scene, ibl, params)
     ).astype(np.int32)
     ref = np.asarray(
         jax.jit(functools.partial(base, fast_sampling=False))(
