@@ -33,6 +33,12 @@ def load_hdr(path: str) -> np.ndarray:
     """
     with open(path, "rb") as f:
         data = f.read()
+    # native fast path (native/mo_native.cpp), identical decode
+    from ..native import hdr_decode_rgbe
+
+    native = hdr_decode_rgbe(data)
+    if native is not None:
+        return rgbe_to_float(native)
     # --- header
     if not (data.startswith(b"#?RADIANCE") or data.startswith(b"#?RGBE")):
         raise ValueError(f"{path}: not a Radiance HDR file")

@@ -236,6 +236,11 @@ def pack_scene(world, config: EngineConfig) -> SceneBuffers:
 
     # quad-packed per-material texture stack (see SceneBuffers docstring)
     def _quad_u32(img: np.ndarray) -> np.ndarray:
+        from ..native import pack_quads_u32
+
+        native = pack_quads_u32(np.ascontiguousarray(img))
+        if native is not None:
+            return native
         u32 = (
             img[..., 0].astype(np.uint32)
             | (img[..., 1].astype(np.uint32) << 8)
