@@ -123,6 +123,9 @@ class MultiViewRenderer:
         """Render one frame per camera; returns (V, H, W, 4) uint8."""
         if self._frame_fn is None:
             self.prepare(world)
+        from ..scene.scene_buffers import refresh_transforms
+
+        self._inner.scene = refresh_transforms(self._inner.scene)
         light_pv, has_light = find_shadow_light(world)
         n_dev = self.mesh.devices.size
         v = len(cameras)

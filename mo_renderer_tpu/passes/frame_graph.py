@@ -21,7 +21,11 @@ from ..device.sampling import build_window_rows_2x4
 from ..kernels.raster_setup import bin_triangles, triangle_setup
 from ..kernels.rasterizer import rasterize
 from ..scene.camera import Camera
-from ..scene.scene_buffers import find_shadow_light, pack_scene
+from ..scene.scene_buffers import (
+    find_shadow_light,
+    pack_scene,
+    refresh_transforms,
+)
 from .gbuffer import gbuffer_pass, gbuffer_pass_fast
 from .present import present_pass
 from .shading import shading_pass, shading_pass_fast
@@ -261,6 +265,10 @@ class Renderer:
     def render_device(self, world):
         """One frame, left on device — the swapchain-present analog
         (the reference never reads frames back either)."""
+        # dynamic transforms: the reference re-reads Transform per draw
+        # (gbuffer_pass.rs:516-548); re-bake if any entity moved (no-op
+        # when nothing changed)
+        self.scene = refresh_transforms(self.scene)
         params, has_light = self.frame_params(world)
         ibl_maps = self.ibl.maps() if self.ibl is not None else None
         return self._frame_fn(

@@ -116,6 +116,7 @@ def pack_scene(world, config: EngineConfig) -> SceneBuffers:
     )
     tri_indices, tri_mesh = [], []
     mesh_worlds, mesh_normals, mesh_materials = [], [], []
+    mesh_sources: list[tuple] = []  # (Transform, baked node world) per mesh
     material_rows = []
     material_slot_layers: list[tuple] = []
     row_slot_layers: list[tuple] = []
@@ -170,6 +171,7 @@ def pack_scene(world, config: EngineConfig) -> SceneBuffers:
             world_mat = (entity_world @ mesh.world).astype(np.float32)
             mesh_worlds.append(world_mat)
             mesh_normals.append(normal_matrix(world_mat))
+            mesh_sources.append((transform, mesh.world))
 
             mat = mesh.material
             slot_layers = (
@@ -363,12 +365,58 @@ def pack_scene(world, config: EngineConfig) -> SceneBuffers:
         run_vertex_stage,
     )
 
+    scene = refresh_tri_attrs(scene)
+    # host-side handles for dynamic transforms (the reference re-reads
+    # Transform every frame via push constants, gbuffer_pass.rs:516-548);
+    # plain attributes on THIS instance only — Renderer keeps it.
+    scene._host_mesh_sources = mesh_sources
+    scene._host_worlds_cache = np.stack(mesh_worlds)
+    return scene
+
+
+def refresh_tri_attrs(scene: SceneBuffers) -> SceneBuffers:
+    """Recompute the packed per-triangle world-space attribute rows."""
+    from ..passes.vertex_stage import (
+        pack_triangle_attributes,
+        run_vertex_stage,
+    )
+
     eye = jnp.eye(4, dtype=jnp.float32)
     vs0 = run_vertex_stage(scene, eye, eye, eye)
-    scene = dataclasses.replace(
+    return dataclasses.replace(
         scene, tri_attrs=jax.jit(pack_triangle_attributes)(scene, vs0)
     )
-    return scene
+
+
+def refresh_transforms(scene: SceneBuffers) -> SceneBuffers:
+    """Re-bake entity transforms into the scene buffers if they changed.
+
+    Returns ``scene`` unchanged (same object) when no Transform moved —
+    callers can cheaply do this every frame like the reference does.
+    """
+    sources = getattr(scene, "_host_mesh_sources", None)
+    if not sources:
+        return scene
+    worlds = np.stack(
+        [
+            (t.model_matrix() @ node_world).astype(np.float32)
+            for t, node_world in sources
+        ]
+    )
+    cache = getattr(scene, "_host_worlds_cache", None)
+    if cache is not None and np.array_equal(worlds, cache):
+        return scene
+    m_pad = scene.mesh_world.shape[0]
+    normals = np.stack([normal_matrix(w) for w in worlds])
+    new_scene = dataclasses.replace(
+        scene,
+        mesh_world=jnp.asarray(_pad_rows(worlds, m_pad)),
+        mesh_normal_mat=jnp.asarray(_pad_rows(normals, m_pad)),
+    )
+    new_scene = refresh_tri_attrs(new_scene)
+    new_scene._host_mesh_sources = sources
+    new_scene._host_worlds_cache = worlds
+    return new_scene
 
 
 def find_shadow_light(world):

@@ -1,0 +1,40 @@
+"""Dynamic transforms: mutating an entity's Transform between frames
+moves the rendered geometry (the reference re-reads Transform per draw)."""
+
+import numpy as np
+
+import __graft_entry__ as graft
+from mo_renderer_tpu.assets.procedural import procedural_model
+from mo_renderer_tpu.math.transform import Transform
+from mo_renderer_tpu.passes.frame_graph import Renderer
+from mo_renderer_tpu.scene.components import DirectionalLight
+from mo_renderer_tpu.scene.world import World
+
+
+def test_transform_mutation_moves_geometry():
+    cfg = graft._tiny_config()
+    world = World()
+    t = Transform.from_xyz(0.0, 0.5, 0.0)
+    world.spawn((t, procedural_model("cube", base_color=(1, 0, 0, 1))))
+    world.spawn((DirectionalLight(
+        Transform.from_xyz(5.0, 8.0, 5.0).looking_at((0.0, 0.0, 0.0)),
+        (1.0, 1.0, 1.0), 4.0, True,
+    ),))
+    world.insert_resource(graft._tiny_ibl())
+    world.insert_resource(graft._camera(cfg))
+
+    r = Renderer(cfg)
+    r.prepare(world)
+    f0 = r.render(world)
+    f0_again = r.render(world)  # no change -> identical (cache hit)
+    np.testing.assert_array_equal(f0, f0_again)
+
+    # move the cube: the image must change where the cube was/is
+    t.translation = np.array([1.5, 0.5, 0.0], np.float32)
+    f1 = r.render(world)
+    assert not np.array_equal(f0, f1)
+
+    # move it back: matches the original frame again
+    t.translation = np.array([0.0, 0.5, 0.0], np.float32)
+    f2 = r.render(world)
+    np.testing.assert_array_equal(f0, f2)
