@@ -56,6 +56,14 @@ class EngineConfig:
     ssao_far: float = 100.0
     ssao_enabled: bool = True
     shadow_enabled: bool = True
+    # Memoize the shadow map across frames while the caster light and all
+    # entity transforms are unchanged (bit-identical output — the map is
+    # a pure function of scene + light_proj_view).  Default OFF: on the
+    # current backend, feeding the 134MB quad table as a jit argument
+    # costs ~90ms/frame — far more than the ~14ms of raster it saves
+    # (NOTES_PERF.md).  Useful only for multi-view rigs with many views
+    # per shadow.
+    shadow_cache: bool = False
 
     # Rasterizer tiling. Pixel tiles are (tile_h, tile_w); tile_w must be a
     # multiple of 128 (TPU lane count), tile_h a multiple of 8.

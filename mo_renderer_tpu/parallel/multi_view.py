@@ -85,9 +85,10 @@ class MultiViewRenderer:
         mesh, axis = self.mesh, self.axis
         n_dev = mesh.devices.size
 
-        def shard_body(scene, ibl, params, has_shadow_light):
+        def shard_body(scene, ibl, params, shadow_quads, has_shadow_light):
             # Local leading dim = V // n_devices, static at trace time:
             # render each local view through the identical frame program.
+            # The shadow map is view-independent: memoized once, shared.
             v_local = params["proj_view"].shape[0]
             frames = [
                 frame_program(
@@ -98,23 +99,24 @@ class MultiViewRenderer:
                     has_shadow_light=has_shadow_light,
                     fast_sampling=inner._fast,
                     slot_map=inner._slot_map,
+                    shadow_quads=shadow_quads,
                 )
                 for i in range(v_local)
             ]
             return jnp.stack(frames)
 
         @functools.partial(jax.jit, static_argnames=("has_shadow_light",))
-        def frame(scene, ibl, params, has_shadow_light):
+        def frame(scene, ibl, params, shadow_quads, has_shadow_light):
             body = jax.shard_map(
                 functools.partial(
                     shard_body, has_shadow_light=has_shadow_light
                 ),
                 mesh=mesh,
-                in_specs=(P(), P(), P(axis)),
+                in_specs=(P(), P(), P(axis), P()),
                 out_specs=P(axis),
                 check_vma=False,
             )
-            return body(scene, ibl, params)
+            return body(scene, ibl, params, shadow_quads)
 
         self._n_dev = n_dev
         return frame
@@ -137,7 +139,8 @@ class MultiViewRenderer:
             params, NamedSharding(self.mesh, P(self.axis))
         )
         ibl_maps = self.ibl.maps() if self.ibl is not None else None
+        quads = self._inner._cached_shadow_quads(light_pv, has_light)
         frames = self._frame_fn(
-            self.scene, ibl_maps, params, has_shadow_light=has_light
+            self.scene, ibl_maps, params, quads, has_shadow_light=has_light
         )
         return np.asarray(frames)[:v]

@@ -72,6 +72,40 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def shadow_program(scene, light_proj_view, *, cfg, binned_cap):
+    """Depth-only shadow raster from the light, as quad-window rows.
+
+    Split out of frame_program so the result can be memoized: the map is
+    a pure function of (scene, light_proj_view)."""
+    smap = cfg.shadow_map_size
+    world = jnp.take(scene.mesh_world, scene.vertex_mesh, axis=0)
+    pos1 = jnp.concatenate(
+        [scene.position, jnp.ones_like(scene.position[:, :1])], axis=-1
+    )
+    world_pos4 = jnp.einsum("vij,vj->vi", world, pos1)
+    shadow_clip = world_pos4 @ light_proj_view.T
+    s_setup = triangle_setup(
+        shadow_clip, scene.indices, scene.tri_valid, smap, smap,
+        cull_backface=False,
+        depth_bias_const=cfg.shadow_depth_bias_const,
+        depth_bias_slope=cfg.shadow_depth_bias_slope,
+    )
+    s_binned = bin_triangles(
+        s_setup,
+        tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+        n_tiles_x=smap // cfg.tile_w,
+        n_tiles_y=smap // cfg.tile_h,
+        max_tiles_per_tri=8,
+        binned_cap=binned_cap,
+        global_cap=512,
+    )
+    _, shadow_map, _, _ = rasterize(
+        s_binned, width=smap, height=smap,
+        tile_h=cfg.tile_h, tile_w=cfg.tile_w, depth_only=True,
+    )
+    return build_window_rows_2x4(shadow_map)
+
+
 def frame_program(
     scene,
     ibl,
@@ -85,6 +119,7 @@ def frame_program(
     extra_passes=(),
     fast_sampling=None,
     slot_map=None,
+    shadow_quads=None,
 ):
     """One full deferred frame as a pure function over pytrees.
 
@@ -107,8 +142,9 @@ def frame_program(
     )
 
     # --- shadow pass (depth-only raster from the light) ------------------
+    # skipped entirely when the caller supplies memoized shadow_quads
     shadow_map = None
-    if use_shadow and has_shadow_light:
+    if use_shadow and has_shadow_light and not (fast and shadow_quads is not None):
         s_setup = triangle_setup(
             vs.shadow_clip, scene.indices, scene.tri_valid,
             smap, smap,
@@ -169,11 +205,10 @@ def frame_program(
 
     # --- shading + skybox + tonemap ---------------------------------------
     if fast:
-        shadow_quads = (
-            build_window_rows_2x4(shadow_map)
-            if shadow_map is not None
-            else None
-        )
+        if shadow_quads is None and shadow_map is not None:
+            shadow_quads = build_window_rows_2x4(shadow_map)
+        if not (use_shadow and has_shadow_light):
+            shadow_quads = None
         color = shading_pass_fast(
             gbuf, ssao, shadow_quads, smap, scene.lights,
             scene.num_lights, params, ibl=ibl,
@@ -244,7 +279,7 @@ class Renderer:
         slot_map = self._slot_map
 
         @functools.partial(jax.jit, static_argnames=("has_shadow_light",))
-        def frame(scene, ibl, params, has_shadow_light):
+        def frame(scene, ibl, params, shadow_quads, has_shadow_light):
             return frame_program(
                 scene, ibl, params,
                 cfg=cfg, pad_w=pad_w, pad_h=pad_h, binned_cap=binned_cap,
@@ -252,9 +287,34 @@ class Renderer:
                 extra_passes=extra_passes,
                 fast_sampling=fast,
                 slot_map=slot_map,
+                shadow_quads=shadow_quads,
             )
 
+        self._shadow_fn = jax.jit(
+            functools.partial(shadow_program, cfg=cfg, binned_cap=binned_cap)
+        )
+        self._shadow_key = None
+        self._shadow_quads = None
         return frame
+
+    def _cached_shadow_quads(self, light_pv, has_light):
+        """Memoized shadow map (quad rows): recomputed only when the
+        caster light or any entity transform changed (bit-identical —
+        the map is a pure function of scene + light_proj_view)."""
+        if not (
+            self._fast
+            and has_light
+            and self.config.shadow_enabled
+            and self.config.shadow_cache
+        ):
+            return None
+        key = (np.asarray(light_pv).tobytes(), id(self.scene))
+        if key != self._shadow_key:
+            self._shadow_quads = self._shadow_fn(
+                self.scene, jnp.asarray(light_pv)
+            )
+            self._shadow_key = key
+        return self._shadow_quads
 
     # --- per-frame host side (App frame loop analog) --------------------
     def frame_params(self, world) -> tuple[dict, bool]:
@@ -271,8 +331,9 @@ class Renderer:
         self.scene = refresh_transforms(self.scene)
         params, has_light = self.frame_params(world)
         ibl_maps = self.ibl.maps() if self.ibl is not None else None
+        quads = self._cached_shadow_quads(params["light_proj_view"], has_light)
         return self._frame_fn(
-            self.scene, ibl_maps, params, has_shadow_light=has_light
+            self.scene, ibl_maps, params, quads, has_shadow_light=has_light
         )
 
     def render(self, world) -> np.ndarray:
