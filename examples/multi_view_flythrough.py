@@ -76,6 +76,9 @@ def main():
     input_res: Input = app.world.resource(Input)
     camera.resize((w, h))
 
+    # warmup: compile the sharded program outside the timed loop
+    mv.render_views(camera_rig(camera, n_views), app.world)
+
     frames = None
     t0 = time.perf_counter()
     for step in range(n_frames):
