@@ -462,16 +462,13 @@ def quad_lerp_rgbe(quad_u32, fx, fy):
 def build_cube_quad_rows_rgbe(faces):
     """(6, S, S, C>=3) HDR cube -> (6*S*S, 4) uint32 RGBE quad rows."""
     packed = pack_rgbe(faces[..., :3])  # (6, S, S) u32
-    rows = []
-    for f in range(6):
-        t = packed[f]
-        xs = jnp.concatenate([t[:, 1:], t[:, -1:]], axis=1)
-        ys = jnp.concatenate([t[1:], t[-1:]], axis=0)
-        xys = jnp.concatenate([xs[1:], xs[-1:]], axis=0)
-        rows.append(
-            jnp.stack([t, xs, ys, xys], axis=-1).reshape(-1, 4)
-        )
-    return jnp.concatenate(rows, axis=0)
+    return jnp.concatenate(
+        [
+            build_quad_rows(packed[f][..., None], CLAMP_TO_EDGE)
+            for f in range(6)
+        ],
+        axis=0,
+    )
 
 
 def sample_cubemap_quad_rgbe(rows, s: int, dirs):

@@ -72,21 +72,13 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def shadow_program(scene, light_proj_view, *, cfg, binned_cap):
-    """Depth-only shadow raster from the light, as quad-window rows.
-
-    Split out of frame_program so the result can be memoized: the map is
-    a pure function of (scene, light_proj_view)."""
+def _shadow_map_from_clip(shadow_clip, scene, *, cfg, binned_cap):
+    """Depth-only raster of the scene from light-space clip positions
+    (shadow_pass.rs semantics: no culling, depth bias 2/2)."""
     smap = cfg.shadow_map_size
-    world = jnp.take(scene.mesh_world, scene.vertex_mesh, axis=0)
-    pos1 = jnp.concatenate(
-        [scene.position, jnp.ones_like(scene.position[:, :1])], axis=-1
-    )
-    world_pos4 = jnp.einsum("vij,vj->vi", world, pos1)
-    shadow_clip = world_pos4 @ light_proj_view.T
     s_setup = triangle_setup(
         shadow_clip, scene.indices, scene.tri_valid, smap, smap,
-        cull_backface=False,
+        cull_backface=False,  # shadow_pass.rs:132-140 CullMode::None
         depth_bias_const=cfg.shadow_depth_bias_const,
         depth_bias_slope=cfg.shadow_depth_bias_slope,
     )
@@ -103,7 +95,22 @@ def shadow_program(scene, light_proj_view, *, cfg, binned_cap):
         s_binned, width=smap, height=smap,
         tile_h=cfg.tile_h, tile_w=cfg.tile_w, depth_only=True,
     )
-    return build_window_rows_2x4(shadow_map)
+    return shadow_map
+
+
+def shadow_program(scene, light_proj_view, *, cfg, binned_cap):
+    """Shadow map as quad-window rows, split out of frame_program so the
+    result can be memoized: it is a pure function of
+    (scene, light_proj_view)."""
+    world = jnp.take(scene.mesh_world, scene.vertex_mesh, axis=0)
+    pos1 = jnp.concatenate(
+        [scene.position, jnp.ones_like(scene.position[:, :1])], axis=-1
+    )
+    world_pos4 = jnp.einsum("vij,vj->vi", world, pos1)
+    shadow_clip = world_pos4 @ light_proj_view.T
+    return build_window_rows_2x4(
+        _shadow_map_from_clip(shadow_clip, scene, cfg=cfg, binned_cap=binned_cap)
+    )
 
 
 def frame_program(
@@ -145,25 +152,8 @@ def frame_program(
     # skipped entirely when the caller supplies memoized shadow_quads
     shadow_map = None
     if use_shadow and has_shadow_light and not (fast and shadow_quads is not None):
-        s_setup = triangle_setup(
-            vs.shadow_clip, scene.indices, scene.tri_valid,
-            smap, smap,
-            cull_backface=False,  # shadow_pass.rs:132-140 CullMode::None
-            depth_bias_const=cfg.shadow_depth_bias_const,
-            depth_bias_slope=cfg.shadow_depth_bias_slope,
-        )
-        s_binned = bin_triangles(
-            s_setup,
-            tile_h=cfg.tile_h, tile_w=cfg.tile_w,
-            n_tiles_x=smap // cfg.tile_w,
-            n_tiles_y=smap // cfg.tile_h,
-            max_tiles_per_tri=8,
-            binned_cap=binned_cap,
-            global_cap=512,
-        )
-        _, shadow_map, _, _ = rasterize(
-            s_binned, width=smap, height=smap,
-            tile_h=cfg.tile_h, tile_w=cfg.tile_w, depth_only=True,
+        shadow_map = _shadow_map_from_clip(
+            vs.shadow_clip, scene, cfg=cfg, binned_cap=binned_cap
         )
 
     # --- G-buffer raster + attribute/texture pass -------------------------

@@ -141,12 +141,7 @@ def gbuffer_pass(tri, z, b0, b1, scene, vs) -> GBuffer:
     normal = jnp.where(has_tangent[..., None], n_mapped, n_geo)
 
     # velocity (gbuffer.frag:71-79): NDC01 with y flip, cur - prev
-    def ndc01(c):
-        wc = jnp.where(jnp.abs(c[..., 3]) > 1e-20, c[..., 3], 1.0)
-        a = (c[..., :2] / wc[..., None] + 1.0) * 0.5
-        return jnp.stack([a[..., 0], 1.0 - a[..., 1]], axis=-1)
-
-    velocity = ndc01(clip) - ndc01(prev_clip)
+    velocity = _ndc01(clip) - _ndc01(prev_clip)
 
     # clear values (gbuffer_pass.rs:482-499): zeros + far depth
     m3 = covered[..., None]

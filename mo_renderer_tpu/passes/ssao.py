@@ -95,8 +95,9 @@ def ssao_pass(depth: jnp.ndarray, num_levels: int = 16) -> jnp.ndarray:
     rw, _rh = _radii(d_lin, w, h)
 
     # geometric radius levels spanning the achievable range:
-    # 0.5/clip(d,.05,1) in [0.5, 10] plus up to ~2px of noise jitter
-    r_lo, r_hi = 0.5, 10.0 + 0.001 * (1 - 0.001) * (w / 2.0)
+    # 0.5/clip(d,.05,1) in [0.5, 10] plus the hash-noise jitter, whose
+    # amplitude is 0.004*(1-0.004)*(w/2) (ssao.comp noise * 0.004)
+    r_lo, r_hi = 0.5, 10.0 + 0.004 * (1 - 0.004) * (w / 2.0)
     edges = np.geomspace(r_lo, r_hi, num_levels + 1)
     centers = np.sqrt(edges[:-1] * edges[1:])
     lvl = jnp.clip(

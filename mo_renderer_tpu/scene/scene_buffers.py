@@ -132,10 +132,14 @@ def pack_scene(world, config: EngineConfig) -> SceneBuffers:
     # occlusion->white, emissive->black.  Layers are deduped by content so
     # repeated procedural/shared images cost one layer (and one quad-stack
     # entry) instead of one per model.
-    image_ids: dict[bytes, int] = {}
+    image_ids: dict[tuple, int] = {}
 
     def add_texture(img: np.ndarray) -> int:
-        key = hashlib.sha1(np.ascontiguousarray(img)).digest()
+        key = (
+            img.shape,
+            str(img.dtype),
+            hashlib.sha1(np.ascontiguousarray(img)).digest(),
+        )
         if key not in image_ids:
             image_ids[key] = len(texture_images)
             texture_images.append(img)
@@ -360,11 +364,6 @@ def pack_scene(world, config: EngineConfig) -> SceneBuffers:
     # derive the packed per-triangle corner attributes ONCE (world-space
     # geometry is frame-invariant; identity matrices — only the world_*
     # vertex outputs are consumed)
-    from ..passes.vertex_stage import (
-        pack_triangle_attributes,
-        run_vertex_stage,
-    )
-
     scene = refresh_tri_attrs(scene)
     # host-side handles for dynamic transforms (the reference re-reads
     # Transform every frame via push constants, gbuffer_pass.rs:516-548);
@@ -374,18 +373,22 @@ def pack_scene(world, config: EngineConfig) -> SceneBuffers:
     return scene
 
 
-def refresh_tri_attrs(scene: SceneBuffers) -> SceneBuffers:
-    """Recompute the packed per-triangle world-space attribute rows."""
+@jax.jit
+def _compute_tri_attrs(scene: SceneBuffers):
+    """Vertex stage (identity projections — only the world_* outputs are
+    consumed) fused with attribute packing in ONE jitted program."""
     from ..passes.vertex_stage import (
         pack_triangle_attributes,
         run_vertex_stage,
     )
 
     eye = jnp.eye(4, dtype=jnp.float32)
-    vs0 = run_vertex_stage(scene, eye, eye, eye)
-    return dataclasses.replace(
-        scene, tri_attrs=jax.jit(pack_triangle_attributes)(scene, vs0)
-    )
+    return pack_triangle_attributes(scene, run_vertex_stage(scene, eye, eye, eye))
+
+
+def refresh_tri_attrs(scene: SceneBuffers) -> SceneBuffers:
+    """Recompute the packed per-triangle world-space attribute rows."""
+    return dataclasses.replace(scene, tri_attrs=_compute_tri_attrs(scene))
 
 
 def refresh_transforms(scene: SceneBuffers) -> SceneBuffers:
