@@ -33,18 +33,20 @@ class IBLMaps:
     """Device-array pytree consumed by the shading pass.
 
     The quad/SH fields are gather-minimal derivations of the base maps
-    (see device/sampling.py quad layouts): env_quad_rows samples the sky
-    in ONE gather, specular_quad does trilinear LOD in two, lut_quad one,
-    and irradiance_sh9 evaluates diffuse ambient with zero gathers.
+    (see device/sampling.py quad layouts): specular_quad does trilinear
+    LOD in two gathers AND carries the environment's quad rows appended
+    after the last mip, so sky pixels (depth==1) reuse the first specular
+    gather for their environment sample — the skybox costs ZERO extra
+    gather indices (passes/shading.py ibl_ambient_sky_fast).
+    irradiance_sh9 evaluates diffuse ambient gather-free; the BRDF LUT is
+    a fitted polynomial (kernels/brdf.env_brdf_poly), also gather-free.
     """
 
     environment_faces: jnp.ndarray  # (6, S, S, 3)
     irradiance_faces: jnp.ndarray  # (6, I, I, 3)
     specular_mips: MipCube
     brdf_lut: jnp.ndarray  # (B, B, 3)
-    env_quad_rows: jnp.ndarray  # (6*S*S, 4) uint32 RGBE quads
-    specular_quad: "object"  # sampling.MipCubeQuad (RGBE)
-    lut_quad_rows: jnp.ndarray  # (B'*B', 8) f32 — scale/bias, B' <= 128
+    specular_quad: "object"  # MipCubeQuad (RGBE); env quad rows appended
     irradiance_sh9: jnp.ndarray  # (9, 3)
 
     def tree_flatten(self):
@@ -61,27 +63,25 @@ def _derive_fast_maps(env, irr, spec, lut):
     """Build the gather-minimal layouts from the base IBL maps.
 
     HDR cubes pack to RGBE uint32 quads (16-byte rows — the fast gather
-    tier).  The BRDF LUT is box-downsampled to <=128^2 so its quad table
-    fits the VMEM-resident gather tier (<=64K rows): the integrand is
-    smooth, so the resolution loss is ~1e-3.
+    tier).  The environment's quad rows are APPENDED to the specular mip
+    chain's table so the shading pass serves sky pixels out of the same
+    gather stream (ibl_ambient_sky_fast).
     """
-    from ..device.sampling import (
-        CLAMP_TO_EDGE,
-        MipCubeQuad,
-        build_cube_quad_rows_rgbe,
-        build_quad_rows,
-    )
+    import jax.numpy as jnp
+
+    from ..device.sampling import MipCubeQuad, build_cube_quad_rows_rgbe
     from ..kernels.ibl import sh9_project_cube
 
-    b = lut.shape[0]
-    lut_sb = lut[..., :2]
-    if b > 128:
-        k = b // 128
-        lut_sb = lut_sb.reshape(128, k, 128, k, 2).mean(axis=(1, 3))
+    spec_quad = MipCubeQuad(spec)
+    specenv = MipCubeQuad(
+        _rows=jnp.concatenate(
+            [spec_quad.rows, build_cube_quad_rows_rgbe(env)], axis=0
+        ),
+        _sizes=spec_quad.sizes,
+        _offsets=spec_quad.offsets,
+    )
     return dict(
-        env_quad_rows=build_cube_quad_rows_rgbe(env),
-        specular_quad=MipCubeQuad(spec),
-        lut_quad_rows=build_quad_rows(lut_sb, CLAMP_TO_EDGE),
+        specular_quad=specenv,
         irradiance_sh9=sh9_project_cube(irr),
     )
 

@@ -518,8 +518,9 @@ class MipCubeQuad:
         return cls(_rows=children[0], _sizes=sizes, _offsets=offsets)
 
 
-def _sample_mipcube_quad_level(rows, sizes, offsets, level, face, u, v):
-    """RGBE bilinear sample at per-pixel integer mip `level`: ONE gather."""
+def mipcube_quad_index(sizes, offsets, level, face, u, v):
+    """Quad-row index + bilinear fractions at per-pixel integer mip
+    ``level`` (the gather-free half of _sample_mipcube_quad_level)."""
     s = jnp.take(sizes, level)
     off = jnp.take(offsets, level)
     x = u * s - 0.5
@@ -530,7 +531,12 @@ def _sample_mipcube_quad_level(rows, sizes, offsets, level, face, u, v):
     fy = jnp.where(y0 < 0, 0.0, y - y0)
     x0i = jnp.clip(x0.astype(jnp.int32), 0, s - 1)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, s - 1)
-    idx = off + face * s * s + y0i * s + x0i
+    return off + face * s * s + y0i * s + x0i, fx, fy
+
+
+def _sample_mipcube_quad_level(rows, sizes, offsets, level, face, u, v):
+    """RGBE bilinear sample at per-pixel integer mip `level`: ONE gather."""
+    idx, fx, fy = mipcube_quad_index(sizes, offsets, level, face, u, v)
     quad = jnp.take(rows, idx, axis=0)
     return quad_lerp_rgbe(quad, fx, fy)
 

@@ -246,6 +246,44 @@ def image_based_lighting(
     return (kd * diffuse + specular) * occlusion[..., None]
 
 
+def env_brdf_poly(ndotv, roughness):
+    """Environment-BRDF (scale, bias) via a fitted Chebyshev polynomial.
+
+    Register-resident replacement for the BRDF-LUT texture gather
+    (ibl/cubemap_brdflut.comp BRDF(); sampled by shading_pass.frag:110 via
+    pbr.glsl:263-266).  The LUT is a universal function of
+    (NdotV, roughness) — see scripts/fit_env_brdf.py for the fit (max
+    residual: scale ~2e-3, bias ~6e-3, i.e. at most ~1.5 8-bit LSBs in the
+    worst grazing-angle corner).  Inputs are clamped to the LUT's texel-
+    center range to mirror CLAMP_TO_EDGE sampling.  Returns (..., 2).
+    """
+    from .env_brdf_coeffs import COEFFS, DEG
+
+    half = 0.5 / 512.0  # texel-center clamp of the reference's 512^2 LUT
+    x = 2.0 * jnp.sqrt(jnp.clip(ndotv, half, 1.0 - half)) - 1.0
+    y = 2.0 * jnp.sqrt(jnp.clip(roughness, half, 1.0 - half)) - 1.0
+
+    def cheb_all(t):
+        ts = [jnp.ones_like(t), t]
+        for _ in range(DEG - 1):
+            ts.append(2.0 * t * ts[-1] - ts[-2])
+        return ts
+
+    tx = cheb_all(x)  # T_j(x_n), j = 0..DEG
+    ty = cheb_all(y)  # T_i(x_r)
+    out = []
+    for c in range(2):
+        acc = 0.0
+        for i in range(DEG + 1):
+            row = COEFFS[2 * i + c]
+            inner = row[0] * tx[0]
+            for j in range(1, DEG + 1):
+                inner = inner + row[j] * tx[j]
+            acc = acc + ty[i] * inner
+        out.append(acc)
+    return jnp.stack(out, axis=-1)
+
+
 def ibl_reflection_dir(position, normal, eye_pos):
     """The reference's quirky R = reflect(V, N) with V = eye - pos
     (pbr.glsl:248-249) — reproduced verbatim for image parity."""

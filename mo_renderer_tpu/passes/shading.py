@@ -181,12 +181,16 @@ def shading_pass(
 #
 # XLA TPU gathers cost ~7ns per index, so the naive shading pass (36 PCF
 # taps + 16 IBL taps per pixel) dominates the frame.  The fast path cuts
-# per-pixel gather indices from ~60 to 8:
-#   PCF       : 4 quad fetches reconstruct the 4x4 texel window that all
-#               9 Poisson taps (|offset| <= 1 texel) live in
-#   specular  : 2 (quad-packed mip chain, sample_mipcube_quad_lod)
-#   BRDF LUT  : 1 (quad rows)
-#   skybox    : 1 (quad rows)
+# per-pixel gather indices from ~60 to 4:
+#   PCF       : 2 wide-row fetches reconstruct the 4x4 texel window that
+#               all 9 Poisson taps (|offset| <= 1 texel) live in
+#   specular  : 2 (quad-packed mip chain, trilinear)
+#   skybox    : 0 — sky pixels (depth==1) don't need specular, so their
+#               first "specular" gather is re-pointed at the environment's
+#               quad rows (appended to the same table): identical sample,
+#               zero extra indices (ibl_ambient_sky_fast)
+#   BRDF LUT  : 0 (fitted Chebyshev polynomial, brdf.env_brdf_poly —
+#               the LUT is a universal smooth function; residual < ~6e-3)
 #   irradiance: 0 (SH9 evaluation — the cosine-convolved map is order-2
 #               band-limited; validated against cube sampling in tests)
 # Deviation: PCF base coords clamp one texel earlier at the shadow-map
@@ -261,7 +265,7 @@ def calculate_shadow_fast(world_pos, light_proj_view, shadow_quad_rows, s):
 
 
 def ibl_ambient_fast(gbuf, eye_pos, ibl):
-    """Split-sum ambient with SH irradiance + quad-packed maps (3 gathers)."""
+    """Split-sum ambient with SH irradiance + quad-packed maps (2 gathers)."""
     from ..kernels.ibl import sh9_eval
 
     irradiance = sh9_eval(ibl.irradiance_sh9, gbuf.normal)
@@ -270,11 +274,7 @@ def ibl_ambient_fast(gbuf, eye_pos, ibl):
     prefiltered = sampling.sample_mipcube_quad_lod(ibl.specular_quad, r, lod)
     v = brdf.normalize(eye_pos - gbuf.position, eps=1e-20)
     ndotv = jnp.maximum(brdf.dot3(gbuf.normal, v), 0.0)
-    b = int(round(ibl.lut_quad_rows.shape[0] ** 0.5))
-    lut_uv = jnp.stack([ndotv, 1.0 - gbuf.orm[..., 1]], axis=-1)
-    lut = sampling.sample_quad_rows(
-        ibl.lut_quad_rows, lut_uv, b, b, 2, sampling.CLAMP_TO_EDGE
-    )
+    lut = brdf.env_brdf_poly(ndotv, gbuf.orm[..., 1])
     return brdf.image_based_lighting(
         gbuf.position, gbuf.base_color, gbuf.normal,
         gbuf.orm[..., 2], gbuf.orm[..., 1], gbuf.orm[..., 0],
@@ -282,8 +282,8 @@ def ibl_ambient_fast(gbuf, eye_pos, ibl):
     )
 
 
-def skybox_color_fast(height, width, camera_basis, ibl):
-    """Skybox via quad-packed environment rows: ONE gather per pixel."""
+def _sky_dirs(height, width, camera_basis):
+    """Per-pixel skybox ray directions (skybox_fs near-plane basis)."""
     v = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
     u = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
     y = (v * 2.0 - 1.0)[:, None, None]
@@ -294,11 +294,85 @@ def skybox_color_fast(height, width, camera_basis, ibl):
         + y * (near_h / 2.0) * camera_basis["up"]
         - camera_basis["near"] * camera_basis["direction"]
     )
-    d = d * jnp.reciprocal(
+    return d * jnp.reciprocal(
         jnp.sqrt(jnp.maximum(jnp.sum(d * d, -1, keepdims=True), 1e-20))
     )
+
+
+def _env_quad_index(ibl, dirs):
+    """Quad-row index + fractions for the environment rows appended after
+    the specular mip chain in ibl.specular_quad (ibl_resource.py)."""
     s = ibl.environment_faces.shape[1]
-    return sampling.sample_cubemap_quad_rgbe(ibl.env_quad_rows, s, d)
+    env_off = ibl.specular_quad.rows.shape[0] - 6 * s * s
+    face, u, v = sampling.cube_face_uv(dirs)
+    uv = jnp.stack([u, v], axis=-1)
+    idx, fx, fy = sampling.bilinear_weights(uv, s, s, sampling.CLAMP_TO_EDGE)
+    return env_off + face * (s * s) + idx, fx, fy
+
+
+def skybox_color_fast(height, width, camera_basis, ibl):
+    """Skybox via quad-packed environment rows: ONE gather per pixel.
+
+    (Kept for standalone use/benchmarks; the frame path gets the sky for
+    free inside ibl_ambient_sky_fast.)"""
+    d = _sky_dirs(height, width, camera_basis)
+    idx, fx, fy = _env_quad_index(ibl, d)
+    quad = jnp.take(ibl.specular_quad.rows, idx, axis=0)
+    return sampling.quad_lerp_rgbe(quad, fx, fy)
+
+
+def ibl_ambient_sky_fast(gbuf, eye_pos, ibl, camera_basis):
+    """Ambient AND sky from the same two trilinear gathers.
+
+    Sky pixels (depth==1) need an environment sample but no specular;
+    surface pixels need specular but no sky.  The environment's quad rows
+    live in the same table as the specular mips (ibl_resource.py), so the
+    first specular gather's indices are re-pointed at the environment for
+    sky pixels — the samples are bit-identical to skybox_color_fast and
+    the skybox costs zero additional gather indices.
+
+    Returns (ambient (H,W,3), sky (H,W,3), sky_mask (H,W) bool).
+    """
+    from ..kernels.ibl import sh9_eval
+
+    mq = ibl.specular_quad
+    sizes = jnp.asarray(mq.sizes)
+    offsets = jnp.asarray(mq.offsets)
+
+    # specular trilinear indices (sample_mipcube_quad_lod, split open)
+    r = brdf.ibl_reflection_dir(gbuf.position, gbuf.normal, eye_pos)
+    lod = jnp.clip(gbuf.orm[..., 1] * MAX_REFLECTION_LOD, 0.0, mq.num_levels - 1)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, mq.num_levels - 1)
+    f = (lod - l0.astype(lod.dtype))[..., None]
+    face, u, v = sampling.cube_face_uv(r)
+    idx0, fx0, fy0 = sampling.mipcube_quad_index(sizes, offsets, l0, face, u, v)
+    idx1, fx1, fy1 = sampling.mipcube_quad_index(sizes, offsets, l1, face, u, v)
+
+    # sky pixels: re-point gather 0 at the environment rows
+    sky_mask = gbuf.depth >= 1.0
+    h, w = gbuf.depth.shape
+    d = _sky_dirs(h, w, camera_basis)
+    eidx, efx, efy = _env_quad_index(ibl, d)
+    idx0 = jnp.where(sky_mask, eidx, idx0)
+    fx0 = jnp.where(sky_mask, efx, fx0)
+    fy0 = jnp.where(sky_mask, efy, fy0)
+
+    c0 = sampling.quad_lerp_rgbe(jnp.take(mq.rows, idx0, axis=0), fx0, fy0)
+    c1 = sampling.quad_lerp_rgbe(jnp.take(mq.rows, idx1, axis=0), fx1, fy1)
+    prefiltered = c0 * (1 - f) + c1 * f  # garbage at sky pixels (masked out)
+    sky = c0
+
+    irradiance = sh9_eval(ibl.irradiance_sh9, gbuf.normal)
+    veye = brdf.normalize(eye_pos - gbuf.position, eps=1e-20)
+    ndotv = jnp.maximum(brdf.dot3(gbuf.normal, veye), 0.0)
+    lut = brdf.env_brdf_poly(ndotv, gbuf.orm[..., 1])
+    ambient = brdf.image_based_lighting(
+        gbuf.position, gbuf.base_color, gbuf.normal,
+        gbuf.orm[..., 2], gbuf.orm[..., 1], gbuf.orm[..., 0],
+        eye_pos, irradiance, prefiltered, lut,
+    )
+    return ambient, sky, sky_mask
 
 
 def shading_pass_fast(
@@ -310,7 +384,7 @@ def shading_pass_fast(
     lo = shade_lights(gbuf, lights, num_lights, eye)
 
     if ibl is not None:
-        ambient = ibl_ambient_fast(gbuf, eye, ibl)
+        ambient, sky, sky_mask = ibl_ambient_sky_fast(gbuf, eye, ibl, params)
     else:
         ambient = jnp.zeros_like(lo)
 
@@ -327,8 +401,7 @@ def shading_pass_fast(
     color = tonemap_unreal(color)
 
     if ibl is not None:
-        sky = skybox_color_fast(
-            gbuf.depth.shape[0], gbuf.depth.shape[1], params, ibl
-        )
-        color = jnp.where((gbuf.depth >= 1.0)[..., None], sky, color)
+        # subpass 1: skybox only where depth == 1 (CompareOp::Equal); the
+        # skybox sample is NOT tonemapped (skybox_fs writes it directly)
+        color = jnp.where(sky_mask[..., None], sky, color)
     return jnp.clip(color, 0.0, 1.0)

@@ -20,7 +20,7 @@ os.environ.setdefault("MO_MODEL", "man.glb")
 
 from examples.pbr_ibl import build_app
 from mo_renderer_tpu.config import EngineConfig
-from mo_renderer_tpu.device.sampling import CLAMP_TO_EDGE, build_quad_rows
+from mo_renderer_tpu.device.sampling import build_window_rows_2x4
 from mo_renderer_tpu.kernels.raster_setup import bin_triangles, triangle_setup
 from mo_renderer_tpu.kernels.rasterizer import rasterize
 from mo_renderer_tpu.passes.gbuffer import gbuffer_pass_fast
@@ -90,7 +90,8 @@ def main():
     tri, z, b0, b1 = rast(binned)
 
     gb_fn = functools.partial(gbuffer_pass_fast,
-                              stack_size=cfg.texture_array_size)
+                              stack_size=cfg.texture_array_size,
+                              slot_map=r._slot_map)
     timeit("gbuffer_fast", gb_fn, tri, z, b0, b1, scene, tri_attrs, params)
     gbuf = gb_fn(tri, z, b0, b1, scene, tri_attrs, params)
 
@@ -112,9 +113,8 @@ def main():
         s_bin(s_setup), width=smap, height=smap,
         tile_h=cfg.tile_h, tile_w=cfg.tile_w, depth_only=True)
 
-    timeit("shadow quad build", lambda m: build_quad_rows(
-        m[..., None], CLAMP_TO_EDGE), shadow_map)
-    squads = build_quad_rows(shadow_map[..., None], CLAMP_TO_EDGE)
+    timeit("shadow window build", build_window_rows_2x4, shadow_map)
+    squads = build_window_rows_2x4(shadow_map)
 
     timeit("ssao", ssao_pass, gbuf.depth)
     timeit("pcf_fast", lambda g, p, q: calculate_shadow_fast(
@@ -127,7 +127,8 @@ def main():
         pad_h, pad_w, p, i), params, ibl)
 
     frame = r._frame_fn
-    f = jax.jit(lambda s, i, p: _scalar(frame(s, i, p, has_shadow_light=True)))
+    f = jax.jit(lambda s, i, p: _scalar(
+        frame(s, i, p, None, has_shadow_light=True)))
     out = f(scene, ibl, params)
     np.asarray(out)
     t0 = time.perf_counter()

@@ -166,3 +166,21 @@ def test_srgb_roundtrip():
 def test_quantize_unorm8():
     out = tonemap.quantize_unorm8(jnp.array([0.0, 0.5, 1.0, 2.0, -1.0]))
     np.testing.assert_array_equal(np.asarray(out), [0, 128, 255, 255, 0])
+
+
+def test_env_brdf_poly_matches_lut():
+    """The fitted polynomial must track the 1024-sample LUT integration
+    (ibl/cubemap_brdflut.comp BRDF) to sub-LSB accuracy; this pins the
+    committed coefficients (scripts/fit_env_brdf.py) against any change
+    to the LUT math."""
+    from mo_renderer_tpu.kernels.ibl import brdf_lut
+
+    s = 64
+    lut = np.asarray(brdf_lut(s, 1024))[..., :2]
+    nov = (np.arange(s) + 0.5) / s
+    rough = 1.0 - (np.arange(s) + 0.5) / s
+    rr, nn = np.meshgrid(rough, nov, indexing="ij")
+    out = np.asarray(brdf.env_brdf_poly(jnp.asarray(nn), jnp.asarray(rr)))
+    err = np.abs(out - lut)
+    assert err.max() < 8e-3, f"max err {err.max()}"
+    assert err.mean() < 2e-3, f"mean err {err.mean()}"
