@@ -64,7 +64,9 @@ def main():
 
     fps = BENCH_FRAMES / elapsed
     mpix = fps * WIDTH * HEIGHT / 1e6
-    frame = np.asarray(frame)
+    from mo_renderer_tpu.passes.present import unpack_rgba8
+
+    frame = unpack_rgba8(np.asarray(frame))
     assert frame.shape == (HEIGHT, WIDTH, 4)
     assert frame[..., :3].max() > 0, "black frame"
 

@@ -115,7 +115,9 @@ def main():
         frame = app.renderer.render_device(app.world)
     np.asarray(frame[0, 0])
     dt = (time.perf_counter() - t0) / frames
-    app.save_frame(out, np.asarray(frame))
+    from mo_renderer_tpu.passes.present import unpack_rgba8
+
+    app.save_frame(out, unpack_rgba8(np.asarray(frame)))
     print(f"wrote {out} ({w}x{h}), {1.0 / dt:.2f} fps "
           f"({int(app.renderer.scene.tri_valid.sum())} tris)")
 

@@ -87,6 +87,21 @@ class EngineConfig:
     # gathers cost ~7ns/index), at ~4-5x texture memory.  Falls back to
     # the reference path automatically when a material uses UV set 1.
     fast_sampling: bool = True
+    # Interpolate triangle attributes inside the Pallas raster kernel
+    # (rasterize_attrs megakernel) instead of a per-pixel attrs-row gather
+    # + XLA interpolation.  Default OFF: measured +20ms at 1080p — the
+    # per-CANDIDATE 14-channel interpolation triples the raster inner
+    # loop's VPU work, which exceeds the ~12ms attrs gather it removes
+    # (NOTES_PERF.md).  Kept for scenes where the gather dominates
+    # (huge triangle tables).
+    raster_interp_attrs: bool = False
+    # PCF window table as u16-packed 4x4 windows (ONE gather/pixel) vs
+    # two f32 wide-row gathers.  Ceil quantization: boundary shift of at
+    # most one 1.5e-5 depth quantum, no acne (see sampling.build_pcf_window_u16).
+    pcf_u16: bool = True
+    # SSAO tap loop as one Pallas tile kernel (VMEM halo window) instead
+    # of ~200 materialized full-image shifts.
+    ssao_pallas: bool = True
 
     # Asset root containing gltf/, tex/, shaders/ subdirs.
     resource_root: str = dataclasses.field(default_factory=_default_resource_root)

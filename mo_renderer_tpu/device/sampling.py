@@ -391,6 +391,43 @@ def build_window_rows_2x4(img):
     return jnp.stack(rows0 + rows1, axis=-1).reshape(-1, 8)
 
 
+def build_pcf_window_u16(img):
+    """(H, W) depth -> (H*W, 8) uint32: texel (y, x)'s full 4x4 window
+    (rows y..y+3, cols x..x+3, edge-clamped), ceil-quantized to 16-bit
+    unorm and packed in row-major pairs.
+
+    ONE 32-byte row gather at (y-1, x-1) reconstructs the whole PCF
+    footprint — half the gather cost of the two f32 wide rows
+    (build_window_rows_2x4).  Ceil quantization only ever *raises* the
+    stored occluder depth (by < 1/65535), which biases the compare toward
+    "lit" exactly like the shadow raster's own depth bias — no acne; the
+    shadow boundary can shift by at most one 1.5e-5 depth quantum.
+    """
+    q = jnp.minimum(
+        jnp.ceil(jnp.clip(img, 0.0, 1.0) * 65535.0), 65535.0
+    ).astype(jnp.uint32)
+
+    def shift_x(t, k):
+        if k == 0:
+            return t
+        return jnp.concatenate(
+            [t[:, k:], jnp.repeat(t[:, -1:], k, axis=1)], axis=1
+        )
+
+    def shift_y(t, k):
+        if k == 0:
+            return t
+        return jnp.concatenate([t[k:], jnp.repeat(t[-1:], k, axis=0)], axis=0)
+
+    vals = []
+    for r in range(4):
+        ty = shift_y(q, r)
+        for c in range(4):
+            vals.append(shift_x(ty, c))
+    packed = [vals[2 * j] | (vals[2 * j + 1] << 16) for j in range(8)]
+    return jnp.stack(packed, axis=-1).reshape(-1, 8)
+
+
 def build_cube_quad_rows(faces):
     """(6, S, S, C) -> (6*S*S, 4*C) clamped quad rows, face-major."""
     return jnp.concatenate(

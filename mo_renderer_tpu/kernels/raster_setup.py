@@ -273,7 +273,10 @@ def bin_triangles(
         global_data = jnp.concatenate(
             [
                 global_data,
-                jnp.zeros((global_cap - global_data.shape[0], TRI_STRIDE), jnp.float32),
+                jnp.zeros(
+                    (global_cap - global_data.shape[0], tri_data.shape[1]),
+                    jnp.float32,
+                ),
             ],
             axis=0,
         )

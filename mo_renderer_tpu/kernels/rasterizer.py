@@ -89,6 +89,230 @@ def _process_rows(rows, px, py, state, depth_only: bool):
     )
 
 
+def _process_rows_attrs(rows, px, py, state, n_interp):
+    """Rasterize SUB_K triangles AND interpolate their attributes.
+
+    rows (K, >=16+3+3*n_interp+2): raster columns 0..15 (see raster_setup),
+    then the channel-major attr columns from
+    vertex_stage.pack_raster_attr_columns.  state = (z, tri, c_0..c_{n-1},
+    mat, ht) of (TH, TW) arrays.  Where a candidate wins the depth test its
+    perspective-correct interpolated attributes overwrite the accumulators
+    (the G-buffer interpolation fused into the raster loop — the per-pixel
+    attrs-row gather disappears entirely).
+    """
+    z_acc, tri_acc = state[0], state[1]
+    attr_acc = state[2:]
+    k = rows.shape[0]
+
+    def col(j):
+        return rows[:, j].reshape(k, 1, 1)
+
+    w0 = col(0) * px + col(3) * py + col(6)
+    w1 = col(1) * px + col(4) * py + col(7)
+    w2 = col(2) * px + col(5) * py + col(8)
+
+    tie_bits = rows[:, 13].astype(jnp.int32).reshape(k, 1, 1)
+
+    def accept(w, bit):
+        tie = (tie_bits & bit) > 0
+        return (w > 0) | (tie & (w == 0))
+
+    cover = accept(w0, 1) & accept(w1, 2) & accept(w2, 4)
+
+    inv_area = col(12)
+    bb0 = w0 * inv_area
+    bb1 = w1 * inv_area
+    bb2 = w2 * inv_area
+    z = bb0 * col(9) + bb1 * col(10) + bb2 * col(11)
+
+    masked_z = jnp.where(cover & (z >= 0.0), z, jnp.inf)
+    zmin = jnp.min(masked_z, axis=0)
+    win = zmin <= z_acc
+
+    kidx = jax.lax.broadcasted_iota(jnp.int32, masked_z.shape, 0)
+    winner = jnp.max(jnp.where(masked_z == zmin[None], kidx, -1), axis=0)
+    onehot = (kidx == winner[None]).astype(jnp.float32)
+
+    # perspective-correct barycentrics (q_i = b_i / w_i, normalized),
+    # pre-multiplied by the winner mask so one reduction interpolates
+    q0 = bb0 * col(16)
+    q1 = bb1 * col(17)
+    q2 = bb2 * col(18)
+    qs = q0 + q1 + q2
+    rs = onehot / jnp.where(jnp.abs(qs) > 1e-20, qs, 1.0)
+    ob0 = q0 * rs
+    ob1 = q1 * rs
+    ob2 = q2 * rs
+
+    out = [jnp.where(win, zmin, z_acc)]
+    tri_w = jnp.sum(col(14) * onehot, axis=0)
+    out.append(jnp.where(win, tri_w, tri_acc))
+    for c in range(n_interp):
+        b = 19 + 3 * c
+        v = jnp.sum(ob0 * col(b) + ob1 * col(b + 1) + ob2 * col(b + 2), axis=0)
+        out.append(jnp.where(win, v, attr_acc[c]))
+    for j in range(2):  # flat columns: material id, has_tangent
+        v = jnp.sum(onehot * col(19 + 3 * n_interp + j), axis=0)
+        out.append(jnp.where(win, v, attr_acc[n_interp + j]))
+    return tuple(out)
+
+
+def _make_attrs_kernel(tile_h, tile_w, n_tiles_x, global_cap, n_interp):
+    n_out = 2 + n_interp + 2
+
+    def kernel(runs_ref, gcount_ref, gdata_ref, hbm_ref, *refs):
+        out_refs = refs[:n_out]
+        buf, sem = refs[n_out], refs[n_out + 1]
+        i = pl.program_id(0)
+        ty = i // n_tiles_x
+        tx = i % n_tiles_x
+        oy = (ty * tile_h).astype(jnp.float32)
+        ox = (tx * tile_w).astype(jnp.float32)
+        iy = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+        ix = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+        py = oy + 0.5 + iy.astype(jnp.float32)
+        px = ox + 0.5 + ix.astype(jnp.float32)
+
+        def read_state():
+            return tuple(r[:] for r in out_refs)
+
+        def write_state(st):
+            for r, s in zip(out_refs, st):
+                r[:] = s
+
+        out_refs[0][:] = jnp.full((tile_h, tile_w), FAR_DEPTH, jnp.float32)
+        out_refs[1][:] = jnp.full((tile_h, tile_w), -1.0, jnp.float32)
+        for r in out_refs[2:]:
+            r[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
+
+        gcount = gcount_ref[0, 0]
+
+        @pl.when(gcount > 0)
+        def _():
+            st = read_state()
+            for j in range(global_cap // SUB_K):
+                st = jax.lax.cond(
+                    j * SUB_K < gcount,
+                    lambda s: _process_rows_attrs(
+                        gdata_ref[j * SUB_K : (j + 1) * SUB_K, :],
+                        px, py, s, n_interp,
+                    ),
+                    lambda s: s,
+                    st,
+                )
+            write_state(st)
+
+        start = runs_ref[0, i]
+        count = runs_ref[1, i]
+        nb = pl.cdiv(count, SUB_K)
+
+        def get_dma(slot, j):
+            return pltpu.make_async_copy(
+                hbm_ref.at[pl.ds(start + j * SUB_K, SUB_K), :],
+                buf.at[slot],
+                sem.at[slot],
+            )
+
+        @pl.when(nb > 0)
+        def _():
+            get_dma(0, 0).start()
+
+            def body(j, st):
+                slot = jax.lax.rem(j, 2)
+
+                @pl.when(j + 1 < nb)
+                def _():
+                    get_dma(1 - slot, j + 1).start()
+
+                get_dma(slot, j).wait()
+                return _process_rows_attrs(buf[slot], px, py, st, n_interp)
+
+            st = jax.lax.fori_loop(0, nb, body, read_state())
+            write_state(st)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "tile_h", "tile_w", "n_interp"),
+)
+def rasterize_attrs(
+    binned: BinnedTriangles,
+    *,
+    width: int,
+    height: int,
+    tile_h: int = 16,
+    tile_w: int = 128,
+    n_interp: int = 14,
+):
+    """Rasterize + interpolate attributes in one Pallas kernel.
+
+    binned rows must carry the extra attr columns
+    (vertex_stage.pack_raster_attr_columns appended to the 16 raster
+    columns).  Returns (tri int32 (H,W) -1=background, z (H,W), attrs
+    tuple of n_interp (H,W) f32 planes, mat (H,W) f32, ht (H,W) f32).
+    """
+    assert width % tile_w == 0 and height % tile_h == 0
+    n_tiles_x = width // tile_w
+    n_tiles_y = height // tile_h
+    n_tiles = n_tiles_x * n_tiles_y
+
+    def pad_rows(d):
+        return jnp.pad(d, ((0, 0), (0, 128 - d.shape[1])))
+
+    hbm_data = jnp.concatenate(
+        [pad_rows(binned.binned_data), jnp.zeros((SUB_K, 128), jnp.float32)],
+        axis=0,
+    )
+    global_data = pad_rows(binned.global_data)
+    runs = jnp.stack([binned.tile_start, binned.tile_count], axis=0)
+    gcount = jnp.reshape(binned.global_count, (1, 1)).astype(jnp.int32)
+
+    kernel = _make_attrs_kernel(
+        tile_h, tile_w, n_tiles_x, binned.global_data.shape[0], n_interp
+    )
+
+    n_out = 2 + n_interp + 2
+    out_shape = [
+        jax.ShapeDtypeStruct((height, width), jnp.float32) for _ in range(n_out)
+    ]
+    tile_spec = pl.BlockSpec(
+        (tile_h, tile_w),
+        lambda i: (i // n_tiles_x, i % n_tiles_x),
+        memory_space=pltpu.VMEM,
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((2, n_tiles), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                global_data.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[tile_spec] * n_out,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, SUB_K, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=_use_interpret(),
+    )(
+        runs,
+        gcount,
+        global_data,
+        hbm_data,
+    )
+    z, tri_f = outs[0], outs[1]
+    tri = jnp.round(tri_f).astype(jnp.int32)
+    tri = jnp.where(z < FAR_DEPTH, tri, -1)
+    return tri, z, tuple(outs[2 : 2 + n_interp]), outs[-2], outs[-1]
+
+
 def _make_kernel(tile_h, tile_w, n_tiles_x, global_cap, depth_only):
     def kernel(
         runs_ref,  # SMEM (2, n_tiles): rows [starts; counts], resident

@@ -143,4 +143,6 @@ class MultiViewRenderer:
         frames = self._frame_fn(
             self.scene, ibl_maps, params, quads, has_shadow_light=has_light
         )
-        return np.asarray(frames)[:v]
+        from ..passes.present import unpack_rgba8
+
+        return unpack_rgba8(np.asarray(frames)[:v])

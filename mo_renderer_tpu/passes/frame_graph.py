@@ -9,6 +9,7 @@ with zero host round-trips (BASELINE.json north_star).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import logging
 
@@ -17,20 +18,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import EngineConfig
-from ..device.sampling import build_window_rows_2x4
+from ..device.sampling import build_pcf_window_u16, build_window_rows_2x4
 from ..kernels.raster_setup import bin_triangles, triangle_setup
-from ..kernels.rasterizer import rasterize
+from ..kernels.rasterizer import rasterize, rasterize_attrs
 from ..scene.camera import Camera
 from ..scene.scene_buffers import (
     find_shadow_light,
     pack_scene,
     refresh_transforms,
 )
-from .gbuffer import gbuffer_pass, gbuffer_pass_fast
-from .present import present_pass
+from .gbuffer import gbuffer_pass, gbuffer_pass_fast, gbuffer_pass_from_planes
+from .present import present_pass, unpack_rgba8
 from .shading import shading_pass, shading_pass_fast
-from .ssao import ssao_pass
-from .vertex_stage import run_vertex_stage
+from .ssao import ssao_pass, ssao_pass_pallas
+from .vertex_stage import pack_raster_attr_columns, run_vertex_stage
 
 logger = logging.getLogger("mo_renderer_tpu")
 
@@ -108,7 +109,8 @@ def shadow_program(scene, light_proj_view, *, cfg, binned_cap):
     )
     world_pos4 = jnp.einsum("vij,vj->vi", world, pos1)
     shadow_clip = world_pos4 @ light_proj_view.T
-    return build_window_rows_2x4(
+    build = build_pcf_window_u16 if cfg.pcf_u16 else build_window_rows_2x4
+    return build(
         _shadow_map_from_clip(shadow_clip, scene, cfg=cfg, binned_cap=binned_cap)
     )
 
@@ -161,6 +163,20 @@ def frame_program(
         vs.clip, scene.indices, scene.tri_valid, pad_w, pad_h,
         cull_backface=True,  # gbuffer_pass.rs:350
     )
+    if fast and slot_map is None:
+        raise ValueError(
+            "fast_sampling requires slot_map (the host-read value of "
+            "scene.stack_slots — see Renderer.prepare)"
+        )
+    use_megakernel = fast and cfg.raster_interp_attrs
+    if use_megakernel:
+        # append the channel-major attr columns so the raster kernel
+        # interpolates attributes in VMEM (rows are DMA'd at 128 floats
+        # either way — the extra columns are free)
+        extra = pack_raster_attr_columns(scene.tri_attrs, params["proj_view"])
+        setup = dataclasses.replace(
+            setup, tri_data=jnp.concatenate([setup.tri_data, extra], axis=1)
+        )
     binned = bin_triangles(
         setup,
         tile_h=cfg.tile_h, tile_w=cfg.tile_w,
@@ -170,33 +186,44 @@ def frame_program(
         binned_cap=binned_cap,
         global_cap=512,
     )
-    tri, z, b0, b1 = rasterize(
-        binned, width=pad_w, height=pad_h,
-        tile_h=cfg.tile_h, tile_w=cfg.tile_w,
-    )
-    if fast:
-        if slot_map is None:
-            raise ValueError(
-                "fast_sampling requires slot_map (the host-read value of "
-                "scene.stack_slots — see Renderer.prepare)"
-            )
-        gbuf = gbuffer_pass_fast(
-            tri, z, b0, b1, scene, scene.tri_attrs, params,
+    if use_megakernel:
+        tri, z, attrs, mat_plane, ht_plane = rasterize_attrs(
+            binned, width=pad_w, height=pad_h,
+            tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+        )
+        gbuf = gbuffer_pass_from_planes(
+            tri, z, attrs, mat_plane, ht_plane, scene, params,
             stack_size=cfg.texture_array_size, slot_map=slot_map,
         )
     else:
-        gbuf = gbuffer_pass(tri, z, b0, b1, scene, vs)
+        tri, z, b0, b1 = rasterize(
+            binned, width=pad_w, height=pad_h,
+            tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+        )
+        if fast:
+            gbuf = gbuffer_pass_fast(
+                tri, z, b0, b1, scene, scene.tri_attrs, params,
+                stack_size=cfg.texture_array_size, slot_map=slot_map,
+            )
+        else:
+            gbuf = gbuffer_pass(tri, z, b0, b1, scene, vs)
 
     # --- SSAO --------------------------------------------------------------
     if use_ssao:
-        ssao = ssao_pass(gbuf.depth)
+        if cfg.ssao_pallas:
+            ssao = ssao_pass_pallas(
+                gbuf.depth, tile_h=cfg.tile_h, tile_w=cfg.tile_w
+            )
+        else:
+            ssao = ssao_pass(gbuf.depth)
     else:
         ssao = jnp.ones_like(gbuf.depth)
 
     # --- shading + skybox + tonemap ---------------------------------------
     if fast:
         if shadow_quads is None and shadow_map is not None:
-            shadow_quads = build_window_rows_2x4(shadow_map)
+            build = build_pcf_window_u16 if cfg.pcf_u16 else build_window_rows_2x4
+            shadow_quads = build(shadow_map)
         if not (use_shadow and has_shadow_light):
             shadow_quads = None
         color = shading_pass_fast(
@@ -213,7 +240,7 @@ def frame_program(
     for p in extra_passes:
         ctx = p.render(ctx)
 
-    rgba = present_pass(ctx["color"])
+    rgba = present_pass(ctx["color"])  # (H, W) packed uint32
     # crop padding back to the configured size
     return rgba[: cfg.height, : cfg.width]
 
@@ -313,8 +340,9 @@ class Renderer:
         return build_camera_params(camera, light_pv), has_light
 
     def render_device(self, world):
-        """One frame, left on device — the swapchain-present analog
-        (the reference never reads frames back either)."""
+        """One frame, left on device as (H, W) packed-rgba8 uint32 — the
+        swapchain-present analog (the reference never reads frames back
+        either).  ``present.unpack_rgba8`` restores (H, W, 4) uint8."""
         # dynamic transforms: the reference re-reads Transform per draw
         # (gbuffer_pass.rs:516-548); re-bake if any entity moved (no-op
         # when nothing changed)
@@ -327,4 +355,5 @@ class Renderer:
         )
 
     def render(self, world) -> np.ndarray:
-        return np.asarray(self.render_device(world))
+        """One frame fetched to host as (H, W, 4) uint8 rgba."""
+        return unpack_rgba8(np.asarray(self.render_device(world)))

@@ -235,6 +235,18 @@ def gbuffer_pass_fast(tri, z, b0, b1, scene, tri_attrs, params,
     wp1 = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], -1)
     velocity = _ndc01(wp1 @ pv.T) - _ndc01(wp1 @ prev_pv.T)
 
+    return _texture_and_assemble(
+        covered, z, world_pos, n_in, t_in, bt_in, uv0, mat_id, has_tangent,
+        velocity, scene, stack_size, slot_map,
+    )
+
+
+def _texture_and_assemble(
+    covered, z, world_pos, n_in, t_in, bt_in, uv0, mat_id, has_tangent,
+    velocity, scene, stack_size, slot_map,
+):
+    """Shared fast-path tail: material fetch, texture-stack sampling,
+    factor application, TBN normal mapping, G-buffer assembly."""
     # material row via one-hot MXU matmul: the table is tiny (<=256 rows)
     # and a matmul beats the gather emitter by ~25ms at 1080p
     n_mats = scene.materials.shape[0]
@@ -310,4 +322,39 @@ def gbuffer_pass_fast(tri, z, b0, b1, scene, tri_attrs, params,
         velocity=jnp.where(m3, velocity, 0.0),
         depth=z,
         mask=covered,
+    )
+
+
+def gbuffer_pass_from_planes(tri, z, attrs, mat_plane, ht_plane, scene,
+                             params, stack_size: int,
+                             slot_map: tuple = (0, 1, 2, 3, 4)) -> GBuffer:
+    """G-buffer from the megakernel's interpolated planes
+    (kernels/rasterizer.rasterize_attrs): the attrs-row gather and the
+    per-pixel interpolation have already happened inside the raster loop;
+    only texturing and assembly remain.
+
+    attrs: 14 (H, W) planes ordered wp.xyz, n.xyz, t.xyz, bt.xyz, uv0.uv.
+    """
+    covered = tri >= 0
+
+    def vec(a, b):
+        return jnp.stack(attrs[a:b], axis=-1)
+
+    world_pos = vec(0, 3)
+    n_in = vec(3, 6)
+    t_in = vec(6, 9)
+    bt_in = vec(9, 12)
+    uv0 = vec(12, 14)
+    mat_id = jnp.round(mat_plane).astype(jnp.int32)
+    has_tangent = ht_plane > 0.5
+
+    # clip positions are linear in world pos: interpolate-then-project
+    pv = params["proj_view"]
+    prev_pv = params["prev_proj_view"]
+    wp1 = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], -1)
+    velocity = _ndc01(wp1 @ pv.T) - _ndc01(wp1 @ prev_pv.T)
+
+    return _texture_and_assemble(
+        covered, z, world_pos, n_in, t_in, bt_in, uv0, mat_id, has_tangent,
+        velocity, scene, stack_size, slot_map,
     )

@@ -202,8 +202,10 @@ def _select3(k, v0, v1, v2):
 
 
 def calculate_shadow_fast(world_pos, light_proj_view, shadow_quad_rows, s):
-    """PCF via one 4x4 window (TWO 2x4 wide-row gathers,
-    sampling.build_window_rows_2x4), all 9 Poisson taps arithmetic."""
+    """PCF from the 4x4 texel window, fetched in a single gather when
+    shadow_quad_rows is the u16-packed table (sampling.build_pcf_window_u16,
+    dtype uint32) or two wide-row gathers for the f32 table
+    (sampling.build_window_rows_2x4); all 9 Poisson taps arithmetic."""
     p = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], -1)
     lp = p @ light_proj_view.T
     wc = jnp.where(jnp.abs(lp[..., 3]) > 1e-20, lp[..., 3], 1.0)
@@ -222,19 +224,31 @@ def calculate_shadow_fast(world_pos, light_proj_view, shadow_quad_rows, s):
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    def wide(dy):  # rows (y0+dy, y0+dy+1) x cols (x0-1 .. x0+2), 8 values
-        idx = (y0i + dy) * s + (x0i - 1)
-        return jnp.take(shadow_quad_rows, idx, axis=0)  # (..., 8)
+    if shadow_quad_rows.dtype == jnp.uint32:
+        # u16-packed full window: ONE gather
+        q = jnp.take(
+            shadow_quad_rows, (y0i - 1) * s + (x0i - 1), axis=0
+        )  # (..., 8) u32
 
-    g_top = wide(-1)
-    g_bot = wide(1)
-    # W[r][c] = depth at (y0-1+r, x0-1+c), r,c in 0..3
-    w_rows = [
-        [g_top[..., c] for c in range(4)],
-        [g_top[..., 4 + c] for c in range(4)],
-        [g_bot[..., c] for c in range(4)],
-        [g_bot[..., 4 + c] for c in range(4)],
-    ]
+        def texel(r, c):
+            v = (q[..., (r * 4 + c) // 2] >> (16 * (c & 1))) & 0xFFFF
+            return v.astype(jnp.float32) * (1.0 / 65535.0)
+
+        w_rows = [[texel(r, c) for c in range(4)] for r in range(4)]
+    else:
+        def wide(dy):  # rows (y0+dy, y0+dy+1) x cols (x0-1 .. x0+2)
+            idx = (y0i + dy) * s + (x0i - 1)
+            return jnp.take(shadow_quad_rows, idx, axis=0)  # (..., 8)
+
+        g_top = wide(-1)
+        g_bot = wide(1)
+        # W[r][c] = depth at (y0-1+r, x0-1+c), r,c in 0..3
+        w_rows = [
+            [g_top[..., c] for c in range(4)],
+            [g_top[..., 4 + c] for c in range(4)],
+            [g_bot[..., c] for c in range(4)],
+            [g_bot[..., 4 + c] for c in range(4)],
+        ]
 
     texel = 1.0 / s
     shadow = jnp.zeros_like(current)

@@ -98,6 +98,45 @@ TRI_HAS_TANGENT = 49 # 0/1 (1)
 TRI_STRIDE = 56      # padded
 
 
+# Channel-major layout for in-raster attribute interpolation
+# (kernels/rasterizer.rasterize_attrs).  The extra columns appended after
+# the 16 raster-setup columns are:
+#   0..2   per-corner 1/clip_w (perspective correction)
+#   3..44  14 interpolated channels x 3 corners (a0, a1, a2 adjacent):
+#          wp.xyz, n.xyz, t.xyz, bt.xyz, uv0.uv
+#   45     material id (flat per triangle)
+#   46     has_tangent (flat)
+RA_N_INTERP = 14
+RA_EXTRA_COLS = 3 + 3 * RA_N_INTERP + 2  # 47
+
+
+def pack_raster_attr_columns(tri_attrs, proj_view) -> jnp.ndarray:
+    """(T, 56) tri_attrs + proj_view -> (T, 47) extra raster columns.
+
+    Reorders the corner-major tri_attrs rows into channel-major triplets
+    and prepends per-corner 1/w so the Pallas raster kernel can do exact
+    perspective-correct interpolation in VMEM (the w row of proj_view is
+    linear in world position — same identity gbuffer_pass_fast uses).
+    """
+    pv3 = proj_view[3]
+
+    def corner_iw(k):
+        wp = tri_attrs[:, TRI_WP0 + 3 * k : TRI_WP0 + 3 * (k + 1)]
+        w = wp[:, 0] * pv3[0] + wp[:, 1] * pv3[1] + wp[:, 2] * pv3[2] + pv3[3]
+        return 1.0 / jnp.where(jnp.abs(w) > 1e-20, w, 1.0)
+
+    cols = [corner_iw(k)[:, None] for k in range(3)]
+    for base, width in (
+        (TRI_WP0, 3), (TRI_N0, 3), (TRI_T0, 3), (TRI_B0, 3), (TRI_UV0, 2),
+    ):
+        for j in range(width):
+            for k in range(3):
+                cols.append(tri_attrs[:, base + k * width + j, None])
+    cols.append(tri_attrs[:, TRI_MAT, None])
+    cols.append(tri_attrs[:, TRI_HAS_TANGENT, None])
+    return jnp.concatenate(cols, axis=-1)
+
+
 def pack_triangle_attributes(scene, vs: VertexOutputs) -> jnp.ndarray:
     """(T, 56) f32 corner-attribute rows (gathered per pixel downstream)."""
     i0, i1, i2 = (scene.indices[:, k] for k in range(3))

@@ -91,6 +91,41 @@ def test_window_rows_2x4(rng):
             assert row[4 + k] == ref[min(y + 1, 8), min(x + k, 12)]
 
 
+def test_pcf_window_u16(rng):
+    img = jnp.asarray(rng.random((9, 13), dtype=np.float32))
+    rows = np.asarray(sampling.build_pcf_window_u16(img))
+    q = np.minimum(np.ceil(np.asarray(img) * 65535.0), 65535.0)
+    for y, x in [(0, 0), (3, 5), (8, 12), (6, 10)]:
+        row = rows[y * 13 + x]
+        for r in range(4):
+            for c in range(4):
+                v = (row[(r * 4 + c) // 2] >> (16 * (c & 1))) & 0xFFFF
+                assert v == q[min(y + r, 8), min(x + c, 12)]
+
+
+def test_pcf_u16_matches_f32_shadow(rng):
+    """Full PCF factor: u16 single-gather vs f32 two-gather path.
+
+    Ceil quantization can flip a tap only when |current - stored| <
+    1.5e-5; on random depth fields that is a vanishing fraction."""
+    from mo_renderer_tpu.passes.shading import calculate_shadow_fast
+
+    s = 64
+    smap = jnp.asarray(rng.random((s, s), dtype=np.float32))
+    wp = jnp.asarray(rng.normal(size=(32, 32, 3)).astype(np.float32)) * 2.0
+    lpv = jnp.asarray(np.diag([0.3, 0.3, 0.2, 1.0]).astype(np.float32))
+
+    f32 = calculate_shadow_fast(
+        wp, lpv, sampling.build_window_rows_2x4(smap), s
+    )
+    u16 = calculate_shadow_fast(
+        wp, lpv, sampling.build_pcf_window_u16(smap), s
+    )
+    # agreement except where a tap sits within one quantum of the surface
+    frac = (np.abs(np.asarray(f32) - np.asarray(u16)) > 1e-6).mean()
+    assert frac < 0.01, f"diff fraction {frac}"
+
+
 def test_sh9_reconstructs_irradiance(rng):
     # smooth synthetic environment -> irradiance -> SH9 vs cube sampling
     equirect = jnp.asarray(

@@ -41,9 +41,10 @@ def _render_entry():
     import jax
 
     import __graft_entry__ as g
+    from mo_renderer_tpu.passes.present import unpack_rgba8
 
     fn, args = g.entry()
-    return np.asarray(jax.jit(fn)(*args))
+    return unpack_rgba8(np.asarray(jax.jit(fn)(*args)))
 
 
 def _check(frame, golden_name):

@@ -18,10 +18,12 @@ def tiny_setup():
 def test_graft_entry_compiles():
     fn, args = graft.entry()
     out = jax.jit(fn)(*args)
-    assert out.shape == (128, 256, 4)
-    assert out.dtype == np.uint8
+    assert out.shape == (128, 256)  # packed-rgba8 uint32 (present.py)
+    assert out.dtype == np.uint32
     # scene objects cover some pixels; sky covers the rest (non-black)
-    host = np.asarray(out)
+    from mo_renderer_tpu.passes.present import unpack_rgba8
+
+    host = unpack_rgba8(np.asarray(out))
     assert (host[..., :3].sum(-1) > 0).mean() > 0.9
 
 

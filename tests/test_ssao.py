@@ -7,6 +7,7 @@ import numpy as np
 from mo_renderer_tpu.passes.ssao import (
     ssao_pass,
     ssao_pass_exact,
+    ssao_pass_pallas,
 )
 
 
@@ -42,6 +43,18 @@ def test_flat_depth_unoccluded():
     for fn in (ssao_pass, ssao_pass_exact):
         ao = np.asarray(jax.jit(fn)(depth))
         assert ao.min() > 0.99  # no occlusion on a flat plane
+
+
+def test_pallas_matches_jnp():
+    """The Pallas tile kernel computes the identical radius-quantized AO
+    (same tap offsets, same compares) — only the schedule differs."""
+    depth = _synthetic_depth(32, 256, seed=3)
+    a = np.asarray(jax.jit(ssao_pass)(depth))
+    b = np.asarray(
+        jax.jit(lambda d: ssao_pass_pallas(d, tile_h=16, tile_w=128))(depth)
+    )
+    np.testing.assert_allclose(a, b, atol=1.01 / 255.0)
+    assert (a != b).mean() < 0.002
 
 
 def test_output_is_rgba8_quantized():
