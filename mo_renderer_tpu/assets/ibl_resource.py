@@ -67,21 +67,16 @@ def _derive_fast_maps(env, irr, spec, lut):
     chain's table so the shading pass serves sky pixels out of the same
     gather stream (ibl_ambient_sky_fast).
     """
-    import jax.numpy as jnp
-
-    from ..device.sampling import MipCubeQuad, build_cube_quad_rows_rgbe
+    from ..device.sampling import MipCubeQuad
     from ..kernels.ibl import sh9_project_cube
 
-    spec_quad = MipCubeQuad(spec)
-    specenv = MipCubeQuad(
-        _rows=jnp.concatenate(
-            [spec_quad.rows, build_cube_quad_rows_rgbe(env)], axis=0
-        ),
-        _sizes=spec_quad.sizes,
-        _offsets=spec_quad.offsets,
-    )
+    # Specular mip 0 IS the environment (kernels/ibl.specular_prefilter:
+    # roughness-0 prefilter = mirror), so sky pixels read their
+    # environment sample from the mip-0 region of the same table — no
+    # appended copy (the duplicate rows cost ~25MB of table, and gather
+    # cost grows with table size).
     return dict(
-        specular_quad=specenv,
+        specular_quad=MipCubeQuad(spec),
         irradiance_sh9=sh9_project_cube(irr),
     )
 

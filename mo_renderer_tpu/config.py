@@ -99,6 +99,10 @@ class EngineConfig:
     # two f32 wide-row gathers.  Ceil quantization: boundary shift of at
     # most one 1.5e-5 depth quantum, no acne (see sampling.build_pcf_window_u16).
     pcf_u16: bool = True
+    # Evaluate the PCF factor on the even-pixel grid and bilinearly
+    # upsample (4x fewer gather indices into the 134MB window table —
+    # the single biggest frame cost).  Slightly widens penumbrae.
+    pcf_half_res: bool = True
     # SSAO tap loop as one Pallas tile kernel (VMEM halo window) instead
     # of ~200 materialized full-image shifts.
     ssao_pallas: bool = True

@@ -100,6 +100,7 @@ class MultiViewRenderer:
                     fast_sampling=inner._fast,
                     slot_map=inner._slot_map,
                     shadow_quads=shadow_quads,
+                    static_light_count=inner._n_lights,
                 )
                 for i in range(v_local)
             ]

@@ -129,6 +129,7 @@ def frame_program(
     fast_sampling=None,
     slot_map=None,
     shadow_quads=None,
+    static_light_count=None,
 ):
     """One full deferred frame as a pure function over pytrees.
 
@@ -229,6 +230,8 @@ def frame_program(
         color = shading_pass_fast(
             gbuf, ssao, shadow_quads, smap, scene.lights,
             scene.num_lights, params, ibl=ibl,
+            shadow_half_res=cfg.pcf_half_res,
+            static_light_count=static_light_count,
         )
     else:
         color = shading_pass(
@@ -273,6 +276,9 @@ class Renderer:
         # scenes using UV1 (rare) fall back to the reference samplers
         uses_uv1 = bool(np.asarray(self.scene.materials[:, 5:10]).any())
         self._fast = self.config.fast_sampling and not uses_uv1
+        # live-light count is fixed at pack time; specializing the
+        # shading loop to it drops 14 dead cook-torrance evaluations
+        self._n_lights = int(np.asarray(self.scene.num_lights))
         # static layout of the texture stacks (host-read once)
         self._slot_map = tuple(
             int(x) for x in np.asarray(self.scene.stack_slots)
@@ -294,6 +300,7 @@ class Renderer:
         extra_passes = tuple(self.extra_passes)
         fast = self._fast
         slot_map = self._slot_map
+        n_lights = self._n_lights
 
         @functools.partial(jax.jit, static_argnames=("has_shadow_light",))
         def frame(scene, ibl, params, shadow_quads, has_shadow_light):
@@ -305,6 +312,7 @@ class Renderer:
                 fast_sampling=fast,
                 slot_map=slot_map,
                 shadow_quads=shadow_quads,
+                static_light_count=n_lights,
             )
 
         self._shadow_fn = jax.jit(

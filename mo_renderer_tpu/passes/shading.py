@@ -63,10 +63,16 @@ def calculate_shadow(world_pos, light_proj_view, shadow_map):
     return jnp.where(beyond_far, 1.0, result)
 
 
-def shade_lights(gbuf, lights, num_lights, eye_pos):
-    """Sum surfaceShading over the light table (masked static loop)."""
+def shade_lights(gbuf, lights, num_lights, eye_pos, static_count=None):
+    """Sum surfaceShading over the light table (masked static loop).
+
+    static_count: host-known live-light count (Renderer.prepare reads it
+    once) — shrinks the unrolled loop from max_lights (16) to the actual
+    count; the mask still guards against a stale count."""
     lo = jnp.zeros_like(gbuf.base_color)
     max_lights = lights.shape[0]
+    if static_count is not None:
+        max_lights = min(max_lights, static_count)
     for i in range(max_lights):
         row = lights[i]
         contrib = brdf.surface_shading(
@@ -278,6 +284,35 @@ def calculate_shadow_fast(world_pos, light_proj_view, shadow_quad_rows, s):
     return jnp.where(beyond_far, 1.0, result)
 
 
+def _upsample2x(a, h, w):
+    """Bilinear 2x upsample aligned with ``x[::2, ::2]`` sampling: even
+    output rows/cols are exact samples, odd ones the average of the two
+    neighbors.  Pure slicing/arithmetic — no gathers."""
+    a_dn = jnp.concatenate([a[1:], a[-1:]], axis=0)
+    rows = jnp.stack([a, 0.5 * (a + a_dn)], axis=1).reshape(
+        2 * a.shape[0], a.shape[1]
+    )
+    r_rt = jnp.concatenate([rows[:, 1:], rows[:, -1:]], axis=1)
+    out = jnp.stack([rows, 0.5 * (rows + r_rt)], axis=2).reshape(
+        rows.shape[0], 2 * rows.shape[1]
+    )
+    return out[:h, :w]
+
+
+def calculate_shadow_fast_half(world_pos, light_proj_view, shadow_quad_rows, s):
+    """PCF factor evaluated on the even-pixel grid and bilinearly
+    upsampled: 4x fewer gather indices.  The factor field is smooth
+    except across penumbra edges (which PCF itself already blurs over
+    ~2 shadow texels), so the upsample costs at most a slightly wider
+    penumbra; gbuf positions are point-sampled (no silhouette mixing at
+    sample points)."""
+    h, w = world_pos.shape[:2]
+    half = calculate_shadow_fast(
+        world_pos[::2, ::2], light_proj_view, shadow_quad_rows, s
+    )
+    return _upsample2x(half, h, w)
+
+
 def ibl_ambient_fast(gbuf, eye_pos, ibl):
     """Split-sum ambient with SH irradiance + quad-packed maps (2 gathers)."""
     from ..kernels.ibl import sh9_eval
@@ -314,10 +349,11 @@ def _sky_dirs(height, width, camera_basis):
 
 
 def _env_quad_index(ibl, dirs):
-    """Quad-row index + fractions for the environment rows appended after
-    the specular mip chain in ibl.specular_quad (ibl_resource.py)."""
-    s = ibl.environment_faces.shape[1]
-    env_off = ibl.specular_quad.rows.shape[0] - 6 * s * s
+    """Quad-row index + fractions for the environment sample, served from
+    the specular table's mip-0 region (mip 0 IS the environment —
+    kernels/ibl.specular_prefilter packs the mirror level first)."""
+    s = int(ibl.specular_quad.sizes[0])
+    env_off = int(ibl.specular_quad.offsets[0])
     face, u, v = sampling.cube_face_uv(dirs)
     uv = jnp.stack([u, v], axis=-1)
     idx, fx, fy = sampling.bilinear_weights(uv, s, s, sampling.CLAMP_TO_EDGE)
@@ -391,11 +427,12 @@ def ibl_ambient_sky_fast(gbuf, eye_pos, ibl, camera_basis):
 
 def shading_pass_fast(
     gbuf, ssao, shadow_quad_rows, shadow_size, lights, num_lights,
-    params, ibl=None,
+    params, ibl=None, shadow_half_res=False, static_light_count=None,
 ):
     """shading_pass with the gather-minimal samplers (same semantics)."""
     eye = params["eye_pos"]
-    lo = shade_lights(gbuf, lights, num_lights, eye)
+    lo = shade_lights(gbuf, lights, num_lights, eye,
+                      static_count=static_light_count)
 
     if ibl is not None:
         ambient, sky, sky_mask = ibl_ambient_sky_fast(gbuf, eye, ibl, params)
@@ -403,7 +440,9 @@ def shading_pass_fast(
         ambient = jnp.zeros_like(lo)
 
     if shadow_quad_rows is not None:
-        shadow = calculate_shadow_fast(
+        pcf = (calculate_shadow_fast_half if shadow_half_res
+               else calculate_shadow_fast)
+        shadow = pcf(
             gbuf.position, params["light_proj_view"],
             shadow_quad_rows, shadow_size,
         )

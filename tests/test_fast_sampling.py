@@ -126,6 +126,20 @@ def test_pcf_u16_matches_f32_shadow(rng):
     assert frac < 0.01, f"diff fraction {frac}"
 
 
+def test_upsample2x_exact_on_samples(rng):
+    from mo_renderer_tpu.passes.shading import _upsample2x
+
+    a = jnp.asarray(rng.random((16, 64), dtype=np.float32))
+    up = np.asarray(_upsample2x(a, 32, 128))
+    assert up.shape == (32, 128)
+    np.testing.assert_array_equal(up[::2, ::2], np.asarray(a))
+    # odd rows/cols are neighbor means
+    np.testing.assert_allclose(
+        up[1:-1:2, ::2], 0.5 * (np.asarray(a)[:-1] + np.asarray(a)[1:]),
+        atol=1e-7,
+    )
+
+
 def test_sh9_reconstructs_irradiance(rng):
     # smooth synthetic environment -> irradiance -> SH9 vs cube sampling
     equirect = jnp.asarray(
