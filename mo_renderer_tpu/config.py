@@ -103,6 +103,9 @@ class EngineConfig:
     # upsample (4x fewer gather indices into the 134MB window table —
     # the single biggest frame cost).  Slightly widens penumbrae.
     pcf_half_res: bool = True
+    # The coarser specular trilinear tap (mip l0+1, band-limited by
+    # construction) sampled on the even-pixel grid and upsampled.
+    spec_parent_mip_half_res: bool = True
     # SSAO tap loop as one Pallas tile kernel (VMEM halo window) instead
     # of ~200 materialized full-image shifts.
     ssao_pallas: bool = True

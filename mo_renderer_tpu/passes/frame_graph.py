@@ -232,6 +232,7 @@ def frame_program(
             scene.num_lights, params, ibl=ibl,
             shadow_half_res=cfg.pcf_half_res,
             static_light_count=static_light_count,
+            parent_mip_half_res=cfg.spec_parent_mip_half_res,
         )
     else:
         color = shading_pass(

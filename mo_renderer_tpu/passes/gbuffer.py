@@ -30,7 +30,6 @@ from .vertex_stage import (
     TRI_N0,
     TRI_T0,
     TRI_UV0,
-    TRI_UV1,
     TRI_WP0,
 )
 
@@ -171,7 +170,7 @@ def gbuffer_pass_fast(tri, z, b0, b1, scene, tri_attrs, params,
                       slot_map: tuple = (0, 1, 2, 3, 4)) -> GBuffer:
     """Gather-minimal G-buffer: typically 2-4 gathers per pixel total.
 
-    1. one (T, 56) row gather for all corner attributes (packed by
+    1. one (T, 44) row gather for all corner attributes (packed by
        vertex_stage.pack_triangle_attributes),
     2. the material row via a one-hot MXU matmul (no gather),
     3. 0-3 texture-stack quad gathers covering the SAMPLED slots;
@@ -187,7 +186,7 @@ def gbuffer_pass_fast(tri, z, b0, b1, scene, tri_attrs, params,
     """
     covered = tri >= 0
     t = jnp.maximum(tri, 0)
-    row = jnp.take(tri_attrs, t, axis=0)  # (H, W, 56)
+    row = jnp.take(tri_attrs, t, axis=0)  # (H, W, 44)
 
     pv = params["proj_view"]
     prev_pv = params["prev_proj_view"]

@@ -287,14 +287,15 @@ def calculate_shadow_fast(world_pos, light_proj_view, shadow_quad_rows, s):
 def _upsample2x(a, h, w):
     """Bilinear 2x upsample aligned with ``x[::2, ::2]`` sampling: even
     output rows/cols are exact samples, odd ones the average of the two
-    neighbors.  Pure slicing/arithmetic — no gathers."""
+    neighbors.  Pure slicing/arithmetic — no gathers.  Accepts (H2, W2)
+    or (H2, W2, C)."""
     a_dn = jnp.concatenate([a[1:], a[-1:]], axis=0)
     rows = jnp.stack([a, 0.5 * (a + a_dn)], axis=1).reshape(
-        2 * a.shape[0], a.shape[1]
+        (2 * a.shape[0],) + a.shape[1:]
     )
     r_rt = jnp.concatenate([rows[:, 1:], rows[:, -1:]], axis=1)
     out = jnp.stack([rows, 0.5 * (rows + r_rt)], axis=2).reshape(
-        rows.shape[0], 2 * rows.shape[1]
+        (rows.shape[0], 2 * a.shape[1]) + a.shape[2:]
     )
     return out[:h, :w]
 
@@ -371,15 +372,20 @@ def skybox_color_fast(height, width, camera_basis, ibl):
     return sampling.quad_lerp_rgbe(quad, fx, fy)
 
 
-def ibl_ambient_sky_fast(gbuf, eye_pos, ibl, camera_basis):
+def ibl_ambient_sky_fast(gbuf, eye_pos, ibl, camera_basis,
+                         parent_mip_half_res=False):
     """Ambient AND sky from the same two trilinear gathers.
 
     Sky pixels (depth==1) need an environment sample but no specular;
-    surface pixels need specular but no sky.  The environment's quad rows
-    live in the same table as the specular mips (ibl_resource.py), so the
-    first specular gather's indices are re-pointed at the environment for
-    sky pixels — the samples are bit-identical to skybox_color_fast and
-    the skybox costs zero additional gather indices.
+    surface pixels need specular but no sky.  The environment lives in
+    the mip-0 region of the specular table (mip 0 IS the mirror level),
+    so the first specular gather's indices are re-pointed there for sky
+    pixels — bit-identical samples, zero additional gather indices.
+
+    parent_mip_half_res: evaluate the COARSER trilinear tap (c1, mip
+    l0+1) on the even-pixel grid and upsample — that mip is band-limited
+    by construction, so the upsample is nearly lossless and the second
+    gather stream shrinks 4x.
 
     Returns (ambient (H,W,3), sky (H,W,3), sky_mask (H,W) bool).
     """
@@ -393,11 +399,9 @@ def ibl_ambient_sky_fast(gbuf, eye_pos, ibl, camera_basis):
     r = brdf.ibl_reflection_dir(gbuf.position, gbuf.normal, eye_pos)
     lod = jnp.clip(gbuf.orm[..., 1] * MAX_REFLECTION_LOD, 0.0, mq.num_levels - 1)
     l0 = jnp.floor(lod).astype(jnp.int32)
-    l1 = jnp.minimum(l0 + 1, mq.num_levels - 1)
     f = (lod - l0.astype(lod.dtype))[..., None]
     face, u, v = sampling.cube_face_uv(r)
     idx0, fx0, fy0 = sampling.mipcube_quad_index(sizes, offsets, l0, face, u, v)
-    idx1, fx1, fy1 = sampling.mipcube_quad_index(sizes, offsets, l1, face, u, v)
 
     # sky pixels: re-point gather 0 at the environment rows
     sky_mask = gbuf.depth >= 1.0
@@ -409,7 +413,31 @@ def ibl_ambient_sky_fast(gbuf, eye_pos, ibl, camera_basis):
     fy0 = jnp.where(sky_mask, efy, fy0)
 
     c0 = sampling.quad_lerp_rgbe(jnp.take(mq.rows, idx0, axis=0), fx0, fy0)
-    c1 = sampling.quad_lerp_rgbe(jnp.take(mq.rows, idx1, axis=0), fx1, fy1)
+
+    if parent_mip_half_res:
+        g2 = lambda a: a[::2, ::2]
+        r2 = brdf.ibl_reflection_dir(
+            g2(gbuf.position), g2(gbuf.normal), eye_pos
+        )
+        lod2 = jnp.clip(
+            g2(gbuf.orm[..., 1]) * MAX_REFLECTION_LOD, 0.0, mq.num_levels - 1
+        )
+        l1h = jnp.minimum(
+            jnp.floor(lod2).astype(jnp.int32) + 1, mq.num_levels - 1
+        )
+        f2, u2, v2 = sampling.cube_face_uv(r2)
+        idx1, fx1, fy1 = sampling.mipcube_quad_index(
+            sizes, offsets, l1h, f2, u2, v2
+        )
+        c1h = sampling.quad_lerp_rgbe(jnp.take(mq.rows, idx1, axis=0), fx1, fy1)
+        c1 = _upsample2x(c1h, h, w)
+    else:
+        l1 = jnp.minimum(l0 + 1, mq.num_levels - 1)
+        idx1, fx1, fy1 = sampling.mipcube_quad_index(
+            sizes, offsets, l1, face, u, v
+        )
+        c1 = sampling.quad_lerp_rgbe(jnp.take(mq.rows, idx1, axis=0), fx1, fy1)
+
     prefiltered = c0 * (1 - f) + c1 * f  # garbage at sky pixels (masked out)
     sky = c0
 
@@ -428,6 +456,7 @@ def ibl_ambient_sky_fast(gbuf, eye_pos, ibl, camera_basis):
 def shading_pass_fast(
     gbuf, ssao, shadow_quad_rows, shadow_size, lights, num_lights,
     params, ibl=None, shadow_half_res=False, static_light_count=None,
+    parent_mip_half_res=False,
 ):
     """shading_pass with the gather-minimal samplers (same semantics)."""
     eye = params["eye_pos"]
@@ -435,7 +464,10 @@ def shading_pass_fast(
                       static_count=static_light_count)
 
     if ibl is not None:
-        ambient, sky, sky_mask = ibl_ambient_sky_fast(gbuf, eye, ibl, params)
+        ambient, sky, sky_mask = ibl_ambient_sky_fast(
+            gbuf, eye, ibl, params,
+            parent_mip_half_res=parent_mip_half_res,
+        )
     else:
         ambient = jnp.zeros_like(lo)
 

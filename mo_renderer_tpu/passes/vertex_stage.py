@@ -92,10 +92,11 @@ TRI_N0 = 9           # 3 x world_normal (9)
 TRI_T0 = 18          # 3 x world_tangent (9)
 TRI_B0 = 27          # 3 x world_bitangent (9)
 TRI_UV0 = 36         # 3 x uv0 (6)
-TRI_UV1 = 42         # 3 x uv1 (6)
-TRI_MAT = 48         # material id (1)
-TRI_HAS_TANGENT = 49 # 0/1 (1)
-TRI_STRIDE = 56      # padded
+TRI_MAT = 42         # material id (1)
+TRI_HAS_TANGENT = 43 # 0/1 (1)
+TRI_STRIDE = 44      # no padding — gather bytes/row is the cost driver
+# uv1 is NOT packed: the fast paths sample UV set 0 only (scenes using
+# UV1 fall back to gbuffer_pass, which reads scene.uv1 directly).
 
 
 # Channel-major layout for in-raster attribute interpolation
@@ -138,7 +139,7 @@ def pack_raster_attr_columns(tri_attrs, proj_view) -> jnp.ndarray:
 
 
 def pack_triangle_attributes(scene, vs: VertexOutputs) -> jnp.ndarray:
-    """(T, 56) f32 corner-attribute rows (gathered per pixel downstream)."""
+    """(T, 44) f32 corner-attribute rows (gathered per pixel downstream)."""
     i0, i1, i2 = (scene.indices[:, k] for k in range(3))
 
     def corners(attr):  # (V, C) -> (T, 3*C)
@@ -150,16 +151,13 @@ def pack_triangle_attributes(scene, vs: VertexOutputs) -> jnp.ndarray:
         scene.mesh_material, scene.tri_mesh, axis=0
     ).astype(jnp.float32)
     has_t = jnp.take(vs.has_tangent, i0, axis=0).astype(jnp.float32)
-    t = scene.indices.shape[0]
     parts = [
         corners(vs.world_pos),
         corners(vs.world_normal),
         corners(vs.world_tangent),
         corners(vs.world_bitangent),
         corners(scene.uv0),
-        corners(scene.uv1),
         mat_id[:, None],
         has_t[:, None],
-        jnp.zeros((t, TRI_STRIDE - TRI_HAS_TANGENT - 1), jnp.float32),
     ]
     return jnp.concatenate(parts, axis=-1)

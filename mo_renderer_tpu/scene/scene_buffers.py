@@ -97,7 +97,7 @@ class SceneBuffers:
     # per-triangle packed corner attributes (vertex_stage.TRI_* layout),
     # derived once at pack time — world-space geometry is frame-invariant
     # because entity transforms are baked into mesh_world here.
-    tri_attrs: jnp.ndarray  # (T, 56) f32
+    tri_attrs: jnp.ndarray  # (T, 44) f32
 
     def tree_flatten(self):
         return tuple(
