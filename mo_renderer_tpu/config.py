@@ -99,10 +99,12 @@ class EngineConfig:
     # two f32 wide-row gathers.  Ceil quantization: boundary shift of at
     # most one 1.5e-5 depth quantum, no acne (see sampling.build_pcf_window_u16).
     pcf_u16: bool = True
-    # Evaluate the PCF factor on the even-pixel grid and bilinearly
-    # upsample (4x fewer gather indices into the 134MB window table —
-    # the single biggest frame cost).  Slightly widens penumbrae.
-    pcf_half_res: bool = True
+    # Evaluate the PCF factor on a strided pixel grid (1 = full res,
+    # 2 = even pixels, 4 = every 4th) and bilinearly upsample — the
+    # divisor^2-fold fewer gather indices into the 134MB window table
+    # were the single biggest frame cost.  Widens penumbrae slightly
+    # (4-vs-2 at 1080p: 0.009% of pixels differ by >12/255, -10.7ms).
+    pcf_res_divisor: int = 4
     # The coarser specular trilinear tap (mip l0+1, band-limited by
     # construction) sampled on the even-pixel grid and upsampled.
     spec_parent_mip_half_res: bool = True

@@ -391,6 +391,15 @@ def build_window_rows_2x4(img):
     return jnp.stack(rows0 + rows1, axis=-1).reshape(-1, 8)
 
 
+def take_rows(table, idx):
+    """Row gather (``jnp.take(..., axis=0)``) that PROMISES in-bounds
+    indices: drops the clamp/select XLA's default clip mode folds into
+    every gather fusion.  Only for call sites whose index builders
+    already clamp or wrap (bilinear_weights, mipcube_quad_index, the
+    PCF window anchor, raster tri ids)."""
+    return table.at[idx].get(mode="promise_in_bounds")
+
+
 def build_pcf_window_u16(img):
     """(H, W) depth -> (H*W, 8) uint32: texel (y, x)'s full 4x4 window
     (rows y..y+3, cols x..x+3, edge-clamped), ceil-quantized to 16-bit

@@ -230,7 +230,7 @@ def frame_program(
         color = shading_pass_fast(
             gbuf, ssao, shadow_quads, smap, scene.lights,
             scene.num_lights, params, ibl=ibl,
-            shadow_half_res=cfg.pcf_half_res,
+            shadow_res_divisor=cfg.pcf_res_divisor,
             static_light_count=static_light_count,
             parent_mip_half_res=cfg.spec_parent_mip_half_res,
         )

@@ -186,7 +186,7 @@ def gbuffer_pass_fast(tri, z, b0, b1, scene, tri_attrs, params,
     """
     covered = tri >= 0
     t = jnp.maximum(tri, 0)
-    row = jnp.take(tri_attrs, t, axis=0)  # (H, W, 44)
+    row = sampling.take_rows(tri_attrs, t)  # (H, W, 44)
 
     pv = params["proj_view"]
     prev_pv = params["prev_proj_view"]
@@ -268,7 +268,7 @@ def _texture_and_assemble(
         if n_sampled > 4:
             groups.append(scene.texture_stack_c)
         stack_row = jnp.concatenate(
-            [jnp.take(g, idx, axis=0) for g in groups], axis=-1
+            [sampling.take_rows(g, idx) for g in groups], axis=-1
         )  # (H, W, 4*n_sampled) uint32
         w00 = (1 - fx) * (1 - fy)
         w10 = fx * (1 - fy)

@@ -232,8 +232,8 @@ def calculate_shadow_fast(world_pos, light_proj_view, shadow_quad_rows, s):
 
     if shadow_quad_rows.dtype == jnp.uint32:
         # u16-packed full window: ONE gather
-        q = jnp.take(
-            shadow_quad_rows, (y0i - 1) * s + (x0i - 1), axis=0
+        q = sampling.take_rows(
+            shadow_quad_rows, (y0i - 1) * s + (x0i - 1)
         )  # (..., 8) u32
 
         def texel(r, c):
@@ -294,19 +294,32 @@ def _even_grid(a):
 
 
 def _upsample2x(a, h, w):
-    """Bilinear 2x upsample aligned with ``x[::2, ::2]`` sampling: even
-    output rows/cols are exact samples, odd ones the average of the two
-    neighbors.  Pure slicing/arithmetic — no gathers.  Accepts (H2, W2)
-    or (H2, W2, C)."""
-    a_dn = jnp.concatenate([a[1:], a[-1:]], axis=0)
-    rows = jnp.stack([a, 0.5 * (a + a_dn)], axis=1).reshape(
-        (2 * a.shape[0],) + a.shape[1:]
-    )
-    r_rt = jnp.concatenate([rows[:, 1:], rows[:, -1:]], axis=1)
-    out = jnp.stack([rows, 0.5 * (rows + r_rt)], axis=2).reshape(
-        (rows.shape[0], 2 * a.shape[1]) + a.shape[2:]
-    )
-    return out[:h, :w]
+    """Bilinear 2x upsample aligned with ``x[::2, ::2]`` sampling (see
+    _upsample_pow2)."""
+    return _upsample_pow2(a, h, w, 2)
+
+
+def _upsample_pow2(a, h, w, f):
+    """Bilinear f-x upsample aligned with ``x[::f, ::f]`` sampling:
+    output (f*i, f*j) are exact samples; in-between positions linearly
+    interpolate the two neighbors per axis.  Pure slicing/arithmetic —
+    no gathers.  Accepts (Hs, Ws) or (Hs, Ws, C)."""
+
+    def up_axis(v, axis):
+        idx = [slice(None)] * v.ndim
+        idx[axis] = slice(1, None)
+        last = [slice(None)] * v.ndim
+        last[axis] = slice(-1, None)
+        v_dn = jnp.concatenate([v[tuple(idx)], v[tuple(last)]], axis=axis)
+        phases = [
+            v * (1.0 - k / f) + v_dn * (k / f) for k in range(f)
+        ]
+        st = jnp.stack(phases, axis=axis + 1)
+        shape = list(v.shape)
+        shape[axis] *= f
+        return st.reshape(shape)
+
+    return up_axis(up_axis(a, 0), 1)[:h, :w]
 
 
 def half_res_geometry(gbuf):
@@ -324,18 +337,21 @@ def half_res_geometry(gbuf):
 
 
 def calculate_shadow_fast_half(pos_half, full_hw, light_proj_view,
-                               shadow_quad_rows, s):
-    """PCF factor evaluated on the even-pixel grid and bilinearly
-    upsampled: 4x fewer gather indices.  The factor field is smooth
-    except across penumbra edges (which PCF itself already blurs over
-    ~2 shadow texels), so the upsample costs at most a slightly wider
+                               shadow_quad_rows, s, divisor=2):
+    """PCF factor evaluated on a strided pixel grid and bilinearly
+    upsampled: divisor^2-fold fewer gather indices.  The factor field is
+    smooth except across penumbra edges (which PCF itself already blurs
+    over ~2 shadow texels), so the upsample costs a slightly wider
     penumbra; positions are point-sampled (no silhouette mixing at
-    sample points)."""
+    sample points).  pos_half is the SHARED even-grid position plane;
+    divisor=4 subsamples it once more."""
     h, w = full_hw
-    half = calculate_shadow_fast(
+    if divisor == 4:
+        pos_half = _even_grid(pos_half)
+    factor = calculate_shadow_fast(
         pos_half, light_proj_view, shadow_quad_rows, s
     )
-    return _upsample2x(half, h, w)
+    return _upsample_pow2(factor, h, w, divisor)
 
 
 def ibl_ambient_fast(gbuf, eye_pos, ibl):
@@ -436,7 +452,7 @@ def ibl_ambient_sky_fast(gbuf, eye_pos, ibl, camera_basis,
     fx0 = jnp.where(sky_mask, efx, fx0)
     fy0 = jnp.where(sky_mask, efy, fy0)
 
-    c0 = sampling.quad_lerp_rgbe(jnp.take(mq.rows, idx0, axis=0), fx0, fy0)
+    c0 = sampling.quad_lerp_rgbe(sampling.take_rows(mq.rows, idx0), fx0, fy0)
 
     if parent_mip_half_res:
         if half_geo is None:
@@ -453,14 +469,14 @@ def ibl_ambient_sky_fast(gbuf, eye_pos, ibl, camera_basis,
         idx1, fx1, fy1 = sampling.mipcube_quad_index(
             sizes, offsets, l1h, f2, u2, v2
         )
-        c1h = sampling.quad_lerp_rgbe(jnp.take(mq.rows, idx1, axis=0), fx1, fy1)
+        c1h = sampling.quad_lerp_rgbe(sampling.take_rows(mq.rows, idx1), fx1, fy1)
         c1 = _upsample2x(c1h, h, w)
     else:
         l1 = jnp.minimum(l0 + 1, mq.num_levels - 1)
         idx1, fx1, fy1 = sampling.mipcube_quad_index(
             sizes, offsets, l1, face, u, v
         )
-        c1 = sampling.quad_lerp_rgbe(jnp.take(mq.rows, idx1, axis=0), fx1, fy1)
+        c1 = sampling.quad_lerp_rgbe(sampling.take_rows(mq.rows, idx1), fx1, fy1)
 
     prefiltered = c0 * (1 - f) + c1 * f  # garbage at sky pixels (masked out)
     sky = c0
@@ -479,7 +495,7 @@ def ibl_ambient_sky_fast(gbuf, eye_pos, ibl, camera_basis,
 
 def shading_pass_fast(
     gbuf, ssao, shadow_quad_rows, shadow_size, lights, num_lights,
-    params, ibl=None, shadow_half_res=False, static_light_count=None,
+    params, ibl=None, shadow_res_divisor=1, static_light_count=None,
     parent_mip_half_res=False,
 ):
     """shading_pass with the gather-minimal samplers (same semantics)."""
@@ -488,9 +504,9 @@ def shading_pass_fast(
                       static_count=static_light_count)
 
     # one shared even-grid slice feeds every half-res consumer
-    need_half = (shadow_half_res and shadow_quad_rows is not None) or (
-        ibl is not None and parent_mip_half_res
-    )
+    need_half = (
+        shadow_res_divisor > 1 and shadow_quad_rows is not None
+    ) or (ibl is not None and parent_mip_half_res)
     half_geo = half_res_geometry(gbuf) if need_half else None
 
     if ibl is not None:
@@ -502,10 +518,11 @@ def shading_pass_fast(
         ambient = jnp.zeros_like(lo)
 
     if shadow_quad_rows is not None:
-        if shadow_half_res:
+        if shadow_res_divisor > 1:
             shadow = calculate_shadow_fast_half(
                 half_geo[0], gbuf.depth.shape, params["light_proj_view"],
                 shadow_quad_rows, shadow_size,
+                divisor=shadow_res_divisor,
             )
         else:
             shadow = calculate_shadow_fast(
