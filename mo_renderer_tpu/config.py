@@ -108,6 +108,11 @@ class EngineConfig:
     # The coarser specular trilinear tap (mip l0+1, band-limited by
     # construction) sampled on the even-pixel grid and upsampled.
     spec_parent_mip_half_res: bool = True
+    # Sample the mirror tap (and the skybox ride-along) on the even grid
+    # too, with a mask-aware upsample that never blends across the
+    # sky/surface silhouette.  On-vs-off at 1080p: mean diff 0.11 LSB,
+    # 0.04% of pixels >12/255, -5.5ms.
+    spec_mirror_half_res: bool = True
     # SSAO tap loop as one Pallas tile kernel (VMEM halo window) instead
     # of ~200 materialized full-image shifts.
     ssao_pallas: bool = True

@@ -233,6 +233,7 @@ def frame_program(
             shadow_res_divisor=cfg.pcf_res_divisor,
             static_light_count=static_light_count,
             parent_mip_half_res=cfg.spec_parent_mip_half_res,
+            mirror_half_res=cfg.spec_mirror_half_res,
         )
     else:
         color = shading_pass(

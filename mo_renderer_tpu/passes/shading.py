@@ -330,10 +330,41 @@ def half_res_geometry(gbuf):
     the same as one 3-channel slice — a third of slicing the three
     planes separately (measured: ~3.6ms vs ~10.8ms at 1080p)."""
     src = jnp.concatenate(
-        [gbuf.position, gbuf.normal, gbuf.orm[..., 1:2]], axis=-1
+        [gbuf.position, gbuf.normal, gbuf.orm[..., 1:2],
+         gbuf.depth[..., None]], axis=-1
     )
     half = _even_grid(src)
-    return half[..., 0:3], half[..., 3:6], half[..., 6]
+    return half[..., 0:3], half[..., 3:6], half[..., 6], half[..., 7]
+
+
+def _upsample2x_mask_aware(vals_h, mask_h, mask_full, h, w):
+    """Bilinear 2x upsample of vals_h, except where the four contributing
+    samples straddle a mask boundary: there the nearest sample whose mask
+    matches the full-res pixel's mask is used instead (no cross-domain
+    blending — e.g. sky color bleeding into surface specular)."""
+    up = _upsample_pow2(vals_h, h, w, 2)
+
+    def nn(a, dy, dx):
+        # nearest-phase upsample: full pixel (y, x) reads a[y//2+dy, x//2+dx]
+        if dy:
+            a = jnp.concatenate([a[dy:], a[-1:]], axis=0)
+        if dx:
+            a = jnp.concatenate([a[:, dx:], a[:, -1:]], axis=1)
+        r = jnp.repeat(jnp.repeat(a, 2, axis=0), 2, axis=1)
+        return r[:h, :w]
+
+    mask_f = mask_h.astype(jnp.float32)
+    phases = [(0, 0), (0, 1), (1, 0), (1, 1)]
+    ms = [nn(mask_f, dy, dx) > 0.5 for dy, dx in phases]
+    uniform = (ms[0] == ms[1]) & (ms[0] == ms[2]) & (ms[0] == ms[3])
+
+    res = up
+    done = jnp.zeros_like(mask_full)
+    for (dy, dx), m in zip(phases, ms):
+        use = (~uniform) & (~done) & (m == mask_full)
+        res = jnp.where(use[..., None], nn(vals_h, dy, dx), res)
+        done = done | use
+    return res
 
 
 def calculate_shadow_fast_half(pos_half, full_hw, light_proj_view,
@@ -372,10 +403,13 @@ def ibl_ambient_fast(gbuf, eye_pos, ibl):
     )
 
 
-def _sky_dirs(height, width, camera_basis):
-    """Per-pixel skybox ray directions (skybox_fs near-plane basis)."""
-    v = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
-    u = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
+def _sky_dirs(height, width, camera_basis, stride: int = 1):
+    """Per-pixel skybox ray directions (skybox_fs near-plane basis).
+
+    stride > 1 evaluates only pixels (stride*i, stride*j) of the full
+    height x width grid (for half-res consumers)."""
+    v = (jnp.arange(height // stride, dtype=jnp.float32) * stride + 0.5) / height
+    u = (jnp.arange(width // stride, dtype=jnp.float32) * stride + 0.5) / width
     y = (v * 2.0 - 1.0)[:, None, None]
     x = (u * 2.0 - 1.0)[None, :, None]
     near_w, near_h = camera_basis["near_wh"][0], camera_basis["near_wh"][1]
@@ -413,7 +447,8 @@ def skybox_color_fast(height, width, camera_basis, ibl):
 
 
 def ibl_ambient_sky_fast(gbuf, eye_pos, ibl, camera_basis,
-                         parent_mip_half_res=False, half_geo=None):
+                         parent_mip_half_res=False, half_geo=None,
+                         mirror_half_res=False):
     """Ambient AND sky from the same two trilinear gathers.
 
     Sky pixels (depth==1) need an environment sample but no specular;
@@ -435,29 +470,61 @@ def ibl_ambient_sky_fast(gbuf, eye_pos, ibl, camera_basis,
     sizes = jnp.asarray(mq.sizes)
     offsets = jnp.asarray(mq.offsets)
 
-    # specular trilinear indices (sample_mipcube_quad_lod, split open)
-    r = brdf.ibl_reflection_dir(gbuf.position, gbuf.normal, eye_pos)
+    # full-res lerp weight between the two mip taps
     lod = jnp.clip(gbuf.orm[..., 1] * MAX_REFLECTION_LOD, 0.0, mq.num_levels - 1)
     l0 = jnp.floor(lod).astype(jnp.int32)
     f = (lod - l0.astype(lod.dtype))[..., None]
-    face, u, v = sampling.cube_face_uv(r)
-    idx0, fx0, fy0 = sampling.mipcube_quad_index(sizes, offsets, l0, face, u, v)
-
-    # sky pixels: re-point gather 0 at the environment rows
     sky_mask = gbuf.depth >= 1.0
     h, w = gbuf.depth.shape
-    d = _sky_dirs(h, w, camera_basis)
-    eidx, efx, efy = _env_quad_index(ibl, d)
-    idx0 = jnp.where(sky_mask, eidx, idx0)
-    fx0 = jnp.where(sky_mask, efx, fx0)
-    fy0 = jnp.where(sky_mask, efy, fy0)
 
-    c0 = sampling.quad_lerp_rgbe(sampling.take_rows(mq.rows, idx0), fx0, fy0)
+    if mirror_half_res and half_geo is None:
+        half_geo = half_res_geometry(gbuf)
+
+    if mirror_half_res:
+        # mirror tap + sky on the even-pixel grid, upsampled: the env
+        # cubemap is 512^2/face (already soft at 1080p).  Costs a ~1px
+        # blend across the sky/surface silhouette.
+        pos_h, n_h, rough_h, depth_h = half_geo
+        rh = brdf.ibl_reflection_dir(pos_h, n_h, eye_pos)
+        lodh = jnp.clip(
+            rough_h * MAX_REFLECTION_LOD, 0.0, mq.num_levels - 1
+        )
+        l0h = jnp.floor(lodh).astype(jnp.int32)
+        fh, uh, vh = sampling.cube_face_uv(rh)
+        idx0, fx0, fy0 = sampling.mipcube_quad_index(
+            sizes, offsets, l0h, fh, uh, vh
+        )
+        sky_h = depth_h >= 1.0
+        dh = _sky_dirs(h, w, camera_basis, stride=2)
+        eidx, efx, efy = _env_quad_index(ibl, dh)
+        idx0 = jnp.where(sky_h, eidx, idx0)
+        fx0 = jnp.where(sky_h, efx, fx0)
+        fy0 = jnp.where(sky_h, efy, fy0)
+        c0h = sampling.quad_lerp_rgbe(
+            sampling.take_rows(mq.rows, idx0), fx0, fy0
+        )
+        c0 = _upsample2x_mask_aware(c0h, sky_h, sky_mask, h, w)
+    else:
+        # specular trilinear indices (sample_mipcube_quad_lod, split
+        # open); sky pixels re-point gather 0 at the environment rows
+        r = brdf.ibl_reflection_dir(gbuf.position, gbuf.normal, eye_pos)
+        face, u, v = sampling.cube_face_uv(r)
+        idx0, fx0, fy0 = sampling.mipcube_quad_index(
+            sizes, offsets, l0, face, u, v
+        )
+        d = _sky_dirs(h, w, camera_basis)
+        eidx, efx, efy = _env_quad_index(ibl, d)
+        idx0 = jnp.where(sky_mask, eidx, idx0)
+        fx0 = jnp.where(sky_mask, efx, fx0)
+        fy0 = jnp.where(sky_mask, efy, fy0)
+        c0 = sampling.quad_lerp_rgbe(
+            sampling.take_rows(mq.rows, idx0), fx0, fy0
+        )
 
     if parent_mip_half_res:
         if half_geo is None:
             half_geo = half_res_geometry(gbuf)
-        pos_h, n_h, rough_h = half_geo
+        pos_h, n_h, rough_h = half_geo[:3]
         r2 = brdf.ibl_reflection_dir(pos_h, n_h, eye_pos)
         lod2 = jnp.clip(
             rough_h * MAX_REFLECTION_LOD, 0.0, mq.num_levels - 1
@@ -472,9 +539,11 @@ def ibl_ambient_sky_fast(gbuf, eye_pos, ibl, camera_basis,
         c1h = sampling.quad_lerp_rgbe(sampling.take_rows(mq.rows, idx1), fx1, fy1)
         c1 = _upsample2x(c1h, h, w)
     else:
+        r1 = brdf.ibl_reflection_dir(gbuf.position, gbuf.normal, eye_pos)
+        face1, u1, v1 = sampling.cube_face_uv(r1)  # CSE'd with c0's
         l1 = jnp.minimum(l0 + 1, mq.num_levels - 1)
         idx1, fx1, fy1 = sampling.mipcube_quad_index(
-            sizes, offsets, l1, face, u, v
+            sizes, offsets, l1, face1, u1, v1
         )
         c1 = sampling.quad_lerp_rgbe(sampling.take_rows(mq.rows, idx1), fx1, fy1)
 
@@ -496,7 +565,7 @@ def ibl_ambient_sky_fast(gbuf, eye_pos, ibl, camera_basis,
 def shading_pass_fast(
     gbuf, ssao, shadow_quad_rows, shadow_size, lights, num_lights,
     params, ibl=None, shadow_res_divisor=1, static_light_count=None,
-    parent_mip_half_res=False,
+    parent_mip_half_res=False, mirror_half_res=False,
 ):
     """shading_pass with the gather-minimal samplers (same semantics)."""
     eye = params["eye_pos"]
@@ -506,13 +575,14 @@ def shading_pass_fast(
     # one shared even-grid slice feeds every half-res consumer
     need_half = (
         shadow_res_divisor > 1 and shadow_quad_rows is not None
-    ) or (ibl is not None and parent_mip_half_res)
+    ) or (ibl is not None and (parent_mip_half_res or mirror_half_res))
     half_geo = half_res_geometry(gbuf) if need_half else None
 
     if ibl is not None:
         ambient, sky, sky_mask = ibl_ambient_sky_fast(
             gbuf, eye, ibl, params,
             parent_mip_half_res=parent_mip_half_res, half_geo=half_geo,
+            mirror_half_res=mirror_half_res,
         )
     else:
         ambient = jnp.zeros_like(lo)

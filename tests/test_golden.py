@@ -12,6 +12,9 @@ Regenerate (after an INTENTIONAL image change) with:
 import os
 import sys
 
+# allow `python tests/test_golden.py --regen` from the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import pytest
 
@@ -68,6 +71,12 @@ def test_golden_entry_procedural():
 
 
 if __name__ == "__main__" and "--regen" in sys.argv:
+    # goldens are CPU-rendered (same platform the pytest run compares on);
+    # conftest.py only applies under pytest, so force CPU here too
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
     from mo_renderer_tpu.assets.image_io import write_png
 
     os.makedirs(GOLDEN_DIR, exist_ok=True)
