@@ -316,6 +316,7 @@ def rasterize_attrs(
 def _make_kernel(tile_h, tile_w, n_tiles_x, global_cap, depth_only):
     def kernel(
         runs_ref,  # SMEM (2, n_tiles): rows [starts; counts], resident
+        roff_ref,  # SMEM (1, 1): tile-row offset of this band
         gcount_ref,  # SMEM (1, 1)
         gdata_ref,  # VMEM (G, 16)
         hbm_ref,  # ANY/HBM (P+K, 16)
@@ -323,7 +324,7 @@ def _make_kernel(tile_h, tile_w, n_tiles_x, global_cap, depth_only):
         buf, sem,  # scratch: (2, K, 16) VMEM + 2 DMA sems
     ):
         i = pl.program_id(0)
-        ty = i // n_tiles_x
+        ty = i // n_tiles_x + roff_ref[0, 0]
         tx = i % n_tiles_x
         oy = (ty * tile_h).astype(jnp.float32)
         ox = (tx * tile_w).astype(jnp.float32)
@@ -409,12 +410,20 @@ def rasterize(
     tile_h: int = 16,
     tile_w: int = 128,
     depth_only: bool = False,
+    tile_row_offset=0,
 ):
     """Rasterize binned triangles into a visibility buffer.
 
     Returns (tri_id int32 (H,W) with -1 background, depth f32 (H,W),
     b0 f32 (H,W), b1 f32 (H,W)).  width/height must be multiples of the
     tile size (pad + crop at the caller).
+
+    tile_row_offset (int or traced scalar) > 0 renders only the
+    ``height``-tall horizontal band starting at pixel row
+    tile_row_offset*tile_h of the binned frame (binned must have been
+    built for the FULL frame): the row-sharded multi-chip path gives
+    each device its band (offset = axis_index * tiles-per-band), all
+    reading the same global binned runs.
     """
     assert width % tile_w == 0 and height % tile_h == 0
     n_tiles_x = width // tile_w
@@ -432,7 +441,17 @@ def rasterize(
     )
     global_data = pad_rows(binned.global_data)
     # SMEM rows are padded to 128 lanes: shape (2, n_tiles), not (n_tiles, 2)
-    runs = jnp.stack([binned.tile_start, binned.tile_count], axis=0)
+    t0 = jnp.asarray(tile_row_offset, jnp.int32) * n_tiles_x
+    runs = jnp.stack(
+        [
+            jax.lax.dynamic_slice_in_dim(binned.tile_start, t0, n_tiles),
+            jax.lax.dynamic_slice_in_dim(binned.tile_count, t0, n_tiles),
+        ],
+        axis=0,
+    )
+    roff = jnp.reshape(
+        jnp.asarray(tile_row_offset, jnp.int32), (1, 1)
+    )
     gcount = jnp.reshape(binned.global_count, (1, 1)).astype(jnp.int32)
 
     kernel = _make_kernel(
@@ -457,6 +476,7 @@ def rasterize(
         in_specs=[
             pl.BlockSpec((2, n_tiles), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 global_data.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
@@ -471,6 +491,7 @@ def rasterize(
         interpret=_use_interpret(),
     )(
         runs,
+        roff,
         gcount,
         global_data,
         hbm_data,

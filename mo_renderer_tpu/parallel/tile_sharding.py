@@ -1,0 +1,256 @@
+"""Row-sharded single-frame rendering over a TPU device mesh.
+
+The second multi-chip axis next to view data-parallelism
+(parallel/multi_view.py): ONE frame's framebuffer tile rows are sharded
+over the mesh — the tensor-parallel analog called out in SURVEY.md §2.3
+("shard G-buffer rows across cores with halo exchange for SSAO
+neighborhoods").  Design:
+
+- Scene tables, IBL maps, and camera params are replicated; triangle
+  setup + binning run replicated (they are tiny next to per-pixel work)
+  producing the GLOBAL per-tile runs.
+- Each device rasterizes, textures, and shades only its horizontal band
+  of tile rows (kernels/rasterizer.rasterize(tile_row_offset),
+  ssao/sky row offsets), reading the same global binned runs.
+- The ONLY cross-band dependency is SSAO's depth neighborhood: real
+  neighbor rows are exchanged over ICI with ``jax.lax.ppermute``
+  (passes/ssao.ssao_halo_rows each way); outer edges replicate like the
+  unsharded pass.
+- The shadow map is light-space (unrelated to screen rows) and is
+  computed replicated.
+
+Deviation vs the unsharded frame: the half-res PCF/specular upsamplers
+interpolate within a band, so the last pixel row of each band blends
+toward an edge-replicated sample instead of the next band's — a <=1-row,
+few-LSB seam per boundary (tests pin it).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import EngineConfig
+from ..kernels.raster_setup import bin_triangles, triangle_setup
+from ..kernels.rasterizer import rasterize
+from ..passes.frame_graph import Renderer, build_camera_params, present_pass
+from ..passes.gbuffer import gbuffer_pass_fast
+from ..passes.shading import shading_pass_fast
+from ..passes.ssao import ssao_halo_rows, ssao_pass_pallas
+from ..passes.vertex_stage import run_vertex_stage
+from ..scene.scene_buffers import find_shadow_light
+from .multi_view import make_view_mesh
+
+logger = logging.getLogger("mo_renderer_tpu")
+
+
+def _shadow_quads_replicated(scene, vs, cfg, binned_cap):
+    from ..device.sampling import build_pcf_window_u16, build_window_rows_2x4
+    from ..passes.frame_graph import _shadow_map_from_clip
+
+    shadow_map = _shadow_map_from_clip(
+        vs.shadow_clip, scene, cfg=cfg, binned_cap=binned_cap
+    )
+    build = build_pcf_window_u16 if cfg.pcf_u16 else build_window_rows_2x4
+    return build(shadow_map)
+
+
+def row_sharded_frame_body(
+    scene, ibl, params, *, cfg, pad_w, pad_h, pad_h_split, binned_cap,
+    has_shadow_light, slot_map, static_light_count, axis_name, n_devices,
+):
+    """Runs inside shard_map: renders this device's band of tile rows.
+
+    pad_h is the VIEWPORT height (identical to the unsharded renderer so
+    the image matches); pad_h_split >= pad_h rounds the tile grid up to
+    a whole number of tile rows per device (the extra rows have no
+    binned triangles, render sky, and are cropped away).
+    """
+    assert pad_h_split % (n_devices * cfg.tile_h) == 0
+    h_local = pad_h_split // n_devices
+    tiles_per_band = h_local // cfg.tile_h
+    d = jax.lax.axis_index(axis_name)
+    row0 = d * h_local
+
+    vs = run_vertex_stage(
+        scene, params["proj_view"], params["prev_proj_view"],
+        params["light_proj_view"],
+    )
+
+    shadow_quads = None
+    if cfg.shadow_enabled and has_shadow_light:
+        shadow_quads = _shadow_quads_replicated(scene, vs, cfg, binned_cap)
+
+    # global setup + binning (replicated; the raster slices its band)
+    setup = triangle_setup(
+        vs.clip, scene.indices, scene.tri_valid, pad_w, pad_h,
+        cull_backface=True,
+    )
+    binned = bin_triangles(
+        setup,
+        tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+        n_tiles_x=pad_w // cfg.tile_w,
+        n_tiles_y=pad_h // cfg.tile_h,
+        max_tiles_per_tri=8,
+        binned_cap=binned_cap,
+        global_cap=512,
+    )
+    if pad_h_split > pad_h:
+        # pad the run table with empty tiles for the split-only rows
+        extra = (pad_h_split - pad_h) // cfg.tile_h * (pad_w // cfg.tile_w)
+        import dataclasses
+
+        binned = dataclasses.replace(
+            binned,
+            tile_start=jnp.pad(binned.tile_start, (0, extra)),
+            tile_count=jnp.pad(binned.tile_count, (0, extra)),
+        )
+    tri, z, b0, b1 = rasterize(
+        binned, width=pad_w, height=h_local,
+        tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+        tile_row_offset=d * tiles_per_band,
+    )
+    gbuf = gbuffer_pass_fast(
+        tri, z, b0, b1, scene, scene.tri_attrs, params,
+        stack_size=cfg.texture_array_size, slot_map=slot_map,
+    )
+
+    # --- SSAO with a REAL halo exchange over the mesh -------------------
+    if cfg.ssao_enabled:
+        pad_rows = ssao_halo_rows(pad_w)
+        # top halo: my upper neighbor's bottom rows (device d-1 -> d)
+        send_down = gbuf.depth[-pad_rows:]
+        top = jax.lax.ppermute(
+            send_down, axis_name,
+            perm=[(i, i + 1) for i in range(n_devices - 1)],
+        )
+        # bottom halo: my lower neighbor's top rows (device d+1 -> d)
+        send_up = gbuf.depth[:pad_rows]
+        bottom = jax.lax.ppermute(
+            send_up, axis_name,
+            perm=[(i + 1, i) for i in range(n_devices - 1)],
+        )
+        # outermost devices replicate their edge row (like jnp.pad "edge")
+        edge_top = jnp.broadcast_to(gbuf.depth[:1], (pad_rows, pad_w))
+        edge_bottom = jnp.broadcast_to(gbuf.depth[-1:], (pad_rows, pad_w))
+        top = jnp.where(d == 0, edge_top, top)
+        bottom = jnp.where(d == n_devices - 1, edge_bottom, bottom)
+        ssao = ssao_pass_pallas(
+            gbuf.depth, tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+            row_offset=row0, y_halo=(top, bottom),
+        )
+    else:
+        ssao = jnp.ones_like(gbuf.depth)
+
+    color = shading_pass_fast(
+        gbuf, ssao, shadow_quads, cfg.shadow_map_size, scene.lights,
+        scene.num_lights, params, ibl=ibl,
+        shadow_res_divisor=cfg.pcf_res_divisor,
+        static_light_count=static_light_count,
+        parent_mip_half_res=cfg.spec_parent_mip_half_res,
+        mirror_half_res=cfg.spec_mirror_half_res,
+        row_offset=row0, full_height=pad_h,  # pad_h = viewport height
+    )
+    return present_pass(color)  # (h_local, pad_w) packed u32
+
+
+class TileShardedRenderer:
+    """Renders ONE frame with its tile rows sharded over the mesh.
+
+    Complements MultiViewRenderer (data-parallel over cameras): here a
+    single camera's frame is split across devices — the path a >1-chip
+    deployment uses to cut latency of one big frame (e.g. 4K) rather
+    than throughput over many.
+    """
+
+    def __init__(self, config: EngineConfig, mesh: Mesh | None = None):
+        self.config = config
+        self.mesh = mesh if mesh is not None else make_view_mesh(
+            axis_name="rows"
+        )
+        self.axis = self.mesh.axis_names[0]
+        self._inner = Renderer(config)
+        self._frame_fn = None
+
+    @property
+    def scene(self):
+        return self._inner.scene
+
+    @property
+    def ibl(self):
+        return self._inner.ibl
+
+    def prepare(self, world) -> None:
+        self._inner.prepare(world)
+        if not self._inner._fast:
+            raise NotImplementedError(
+                "row sharding requires the fast sampling path"
+            )
+        if self.config.raster_interp_attrs:
+            raise NotImplementedError(
+                "row sharding does not support the raster megakernel"
+            )
+        self._frame_fn = self._build_frame_fn()
+        logger.info(
+            "tile-sharded renderer: %d tile-row bands over %d devices",
+            self._inner.pad_h // self.config.tile_h,
+            self.mesh.devices.size,
+        )
+
+    def _build_frame_fn(self):
+        cfg = self.config
+        inner = self._inner
+        mesh, axis = self.mesh, self.axis
+        n_dev = mesh.devices.size
+
+        # bands must split evenly: pad the tile grid up to a multiple of
+        # n_devices tile rows (the extra rows render empty sky and are
+        # cropped away); the viewport height stays inner.pad_h so the
+        # image matches the unsharded renderer
+        band = n_dev * cfg.tile_h
+        pad_h_split = ((inner.pad_h + band - 1) // band) * band
+        body = functools.partial(
+            row_sharded_frame_body,
+            cfg=cfg, pad_w=inner.pad_w, pad_h=inner.pad_h,
+            pad_h_split=pad_h_split,
+            binned_cap=inner._binned_cap,
+            slot_map=inner._slot_map,
+            static_light_count=inner._n_lights,
+            axis_name=axis, n_devices=n_dev,
+        )
+
+        @functools.partial(jax.jit, static_argnames=("has_shadow_light",))
+        def frame(scene, ibl, params, has_shadow_light):
+            sharded = jax.shard_map(
+                functools.partial(body, has_shadow_light=has_shadow_light),
+                mesh=mesh,
+                in_specs=(P(), P(), P()),
+                out_specs=P(axis),
+                check_vma=False,
+            )
+            return sharded(scene, ibl, params)
+
+        return frame
+
+    def render_device(self, world):
+        from ..scene.scene_buffers import refresh_transforms
+
+        if self._frame_fn is None:
+            self.prepare(world)
+        self._inner.scene = refresh_transforms(self._inner.scene)
+        params, has_light = self._inner.frame_params(world)
+        ibl_maps = self.ibl.maps() if self.ibl is not None else None
+        full = self._frame_fn(
+            self.scene, ibl_maps, params, has_shadow_light=has_light
+        )
+        return full[: self.config.height, : self.config.width]
+
+    def render(self, world) -> np.ndarray:
+        from ..passes.present import unpack_rgba8
+
+        return unpack_rgba8(np.asarray(self.render_device(world)))

@@ -403,12 +403,19 @@ def ibl_ambient_fast(gbuf, eye_pos, ibl):
     )
 
 
-def _sky_dirs(height, width, camera_basis, stride: int = 1):
+def _sky_dirs(height, width, camera_basis, stride: int = 1,
+              row_offset: int = 0, full_height: int | None = None):
     """Per-pixel skybox ray directions (skybox_fs near-plane basis).
 
     stride > 1 evaluates only pixels (stride*i, stride*j) of the full
-    height x width grid (for half-res consumers)."""
-    v = (jnp.arange(height // stride, dtype=jnp.float32) * stride + 0.5) / height
+    height x width grid (for half-res consumers).  For row-sharded
+    rendering, row_offset/full_height give this band's place in the
+    full frame."""
+    fh = height if full_height is None else full_height
+    v = (
+        jnp.arange(height // stride, dtype=jnp.float32) * stride
+        + row_offset + 0.5
+    ) / fh
     u = (jnp.arange(width // stride, dtype=jnp.float32) * stride + 0.5) / width
     y = (v * 2.0 - 1.0)[:, None, None]
     x = (u * 2.0 - 1.0)[None, :, None]
@@ -448,7 +455,8 @@ def skybox_color_fast(height, width, camera_basis, ibl):
 
 def ibl_ambient_sky_fast(gbuf, eye_pos, ibl, camera_basis,
                          parent_mip_half_res=False, half_geo=None,
-                         mirror_half_res=False):
+                         mirror_half_res=False,
+                         row_offset=0, full_height=None):
     """Ambient AND sky from the same two trilinear gathers.
 
     Sky pixels (depth==1) need an environment sample but no specular;
@@ -495,7 +503,8 @@ def ibl_ambient_sky_fast(gbuf, eye_pos, ibl, camera_basis,
             sizes, offsets, l0h, fh, uh, vh
         )
         sky_h = depth_h >= 1.0
-        dh = _sky_dirs(h, w, camera_basis, stride=2)
+        dh = _sky_dirs(h, w, camera_basis, stride=2,
+                       row_offset=row_offset, full_height=full_height)
         eidx, efx, efy = _env_quad_index(ibl, dh)
         idx0 = jnp.where(sky_h, eidx, idx0)
         fx0 = jnp.where(sky_h, efx, fx0)
@@ -512,7 +521,8 @@ def ibl_ambient_sky_fast(gbuf, eye_pos, ibl, camera_basis,
         idx0, fx0, fy0 = sampling.mipcube_quad_index(
             sizes, offsets, l0, face, u, v
         )
-        d = _sky_dirs(h, w, camera_basis)
+        d = _sky_dirs(h, w, camera_basis,
+                      row_offset=row_offset, full_height=full_height)
         eidx, efx, efy = _env_quad_index(ibl, d)
         idx0 = jnp.where(sky_mask, eidx, idx0)
         fx0 = jnp.where(sky_mask, efx, fx0)
@@ -566,6 +576,7 @@ def shading_pass_fast(
     gbuf, ssao, shadow_quad_rows, shadow_size, lights, num_lights,
     params, ibl=None, shadow_res_divisor=1, static_light_count=None,
     parent_mip_half_res=False, mirror_half_res=False,
+    row_offset=0, full_height=None,
 ):
     """shading_pass with the gather-minimal samplers (same semantics)."""
     eye = params["eye_pos"]
@@ -583,6 +594,7 @@ def shading_pass_fast(
             gbuf, eye, ibl, params,
             parent_mip_half_res=parent_mip_half_res, half_geo=half_geo,
             mirror_half_res=mirror_half_res,
+            row_offset=row_offset, full_height=full_height,
         )
     else:
         ambient = jnp.zeros_like(lo)

@@ -139,11 +139,38 @@ def ssao_pass(depth: jnp.ndarray, num_levels: int = 16) -> jnp.ndarray:
     return jnp.round(jnp.clip(ao, 0.0, 1.0) * 255.0) / 255.0
 
 
+def _ssao_tap_table(w: int, num_levels: int):
+    """Static (edges, per-level integer tap offsets, max |offset|)."""
+    r_lo, r_hi = 0.5, 10.0 + 0.004 * (1 - 0.004) * (w / 2.0)
+    edges = np.geomspace(r_lo, r_hi, num_levels + 1)
+    centers = np.sqrt(edges[:-1] * edges[1:])
+    level_taps = []
+    max_off = 0
+    for k in range(num_levels):
+        taps_k = []
+        for sw, sh, fade in _TAPS:
+            ox = int(np.trunc(sw * float(centers[k])))
+            oy = int(np.trunc(sh * float(centers[k])))
+            taps_k.append((ox, oy, fade))
+            max_off = max(max_off, abs(ox), abs(oy))
+        level_taps.append(taps_k)
+    return edges, level_taps, max_off
+
+
+def ssao_halo_rows(w: int, num_levels: int = 16) -> int:
+    """Rows of neighbor depth a row-sharded SSAO needs on each side
+    (== the Pallas kernel's y padding, kept exactly in sync)."""
+    _, _, max_off = _ssao_tap_table(w, num_levels)
+    return ((max_off + 7) // 8) * 8
+
+
 def ssao_pass_pallas(
     depth: jnp.ndarray,
     num_levels: int = 16,
     tile_h: int = 16,
     tile_w: int = 128,
+    row_offset: int = 0,
+    y_halo=None,
 ) -> jnp.ndarray:
     """ssao_pass with the tap loop inside one Pallas tile kernel.
 
@@ -153,6 +180,12 @@ def ssao_pass_pallas(
     materialized full-image shift: the XLA version writes ~200
     intermediate (H, W) arrays to HBM (~14ms at 1080p); here the window
     is read once per tile.
+
+    Row-sharded use: ``row_offset`` is this band's first GLOBAL pixel
+    row (drives the hash noise), and ``y_halo = (top, bottom)`` supplies
+    REAL neighbor depth rows (ssao_halo_rows(w) each, raw [0,1] depth)
+    in place of edge padding — the sharded result is then bit-identical
+    to the unsharded full-image pass.
     """
     import functools
 
@@ -163,34 +196,28 @@ def ssao_pass_pallas(
     assert h % tile_h == 0 and w % tile_w == 0
     n_ty, n_tx = h // tile_h, w // tile_w
 
-    r_lo, r_hi = 0.5, 10.0 + 0.004 * (1 - 0.004) * (w / 2.0)
-    edges = np.geomspace(r_lo, r_hi, num_levels + 1)
-    centers = np.sqrt(edges[:-1] * edges[1:])
-
-    # static integer tap offsets per level (same trunc as ssao_pass)
-    level_taps = []
-    all_off = set()
-    for k in range(num_levels):
-        taps_k = []
-        for sw, sh, fade in _TAPS:
-            ox = int(np.trunc(sw * float(centers[k])))
-            oy = int(np.trunc(sh * float(centers[k])))
-            taps_k.append((ox, oy, fade))
-            all_off.add((ox, oy))
-        level_taps.append(taps_k)
-    max_off = max(max(abs(o[0]), abs(o[1])) for o in all_off)
+    edges, level_taps, max_off = _ssao_tap_table(w, num_levels)
 
     # halo: y rounded to sublanes, x to one lane group (DMA alignment)
     pad_y = ((max_off + 7) // 8) * 8
     pad_x = 128
     assert max_off <= pad_x
     d_lin = _linear_depth(depth)
-    padded = jnp.pad(d_lin, ((pad_y, pad_y), (pad_x, pad_x)), mode="edge")
+    if y_halo is None:
+        padded = jnp.pad(d_lin, ((pad_y, pad_y), (pad_x, pad_x)), mode="edge")
+    else:
+        top, bottom = y_halo
+        assert top.shape == (pad_y, w) and bottom.shape == (pad_y, w)
+        padded = jnp.concatenate(
+            [_linear_depth(top), d_lin, _linear_depth(bottom)], axis=0
+        )
+        padded = jnp.pad(padded, ((0, 0), (pad_x, pad_x)), mode="edge")
     win_h, win_w = tile_h + 2 * pad_y, tile_w + 2 * pad_x
 
     edges_in = jnp.asarray(edges[1:-1], jnp.float32).reshape(1, -1)
+    roff = jnp.reshape(jnp.asarray(row_offset, jnp.int32), (1, 1))
 
-    def kernel(edges_ref, hbm_ref, ao_ref, win, sem):
+    def kernel(edges_ref, roff_ref, hbm_ref, ao_ref, win, sem):
         ty = pl.program_id(0)
         tx = pl.program_id(1)
         copy = pltpu.make_async_copy(
@@ -204,7 +231,7 @@ def ssao_pass_pallas(
 
         iy = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
         ix = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
-        py = (ty * tile_h + iy).astype(jnp.float32)
+        py = (ty * tile_h + iy + roff_ref[0, 0]).astype(jnp.float32)
         px = (tx * tile_w + ix).astype(jnp.float32)
         nx, _ny = _noise(px, py)
 
@@ -246,6 +273,8 @@ def ssao_pass_pallas(
         in_specs=[
             pl.BlockSpec((1, num_levels - 1), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
@@ -256,7 +285,7 @@ def ssao_pass_pallas(
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(edges_in, padded)
+    )(edges_in, roff, padded)
 
 
 def ssao_pass_exact(depth: jnp.ndarray) -> jnp.ndarray:

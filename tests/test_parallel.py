@@ -49,6 +49,38 @@ def test_multiview_pads_to_mesh(tiny_setup):
     assert frames.shape == (3, cfg.height, cfg.width, 4)
 
 
+def test_tile_sharded_matches_single():
+    """Row-sharded frame (8 bands + SSAO halo exchange) vs unsharded.
+
+    Everything is pixel-local except SSAO (which gets REAL halo rows, so
+    it matches exactly) and the half-res upsamplers, which interpolate
+    within a band: only a <=1-row seam per band boundary may differ."""
+    import dataclasses
+
+    from mo_renderer_tpu.parallel import TileShardedRenderer, make_view_mesh
+    from mo_renderer_tpu.passes.frame_graph import Renderer
+
+    # tall enough that each of the 8 bands exceeds the SSAO halo rows
+    cfg = dataclasses.replace(graft._tiny_config(), height=256)
+    world = graft._tiny_world()
+    world.insert_resource(graft._camera(cfg))
+
+    r = Renderer(cfg)
+    r.prepare(world)
+    single = r.render(world)
+
+    ts = TileShardedRenderer(cfg, make_view_mesh(axis_name="rows"))
+    ts.prepare(world)
+    sharded = ts.render(world)
+
+    assert sharded.shape == single.shape
+    diff = np.abs(sharded.astype(int) - single.astype(int))[..., :3]
+    assert diff.mean() < 0.05, f"mean |diff| {diff.mean()}"
+    # differing pixels confined to band-boundary seam rows
+    bad_rows = np.unique(np.where(diff.max(axis=(1, 2)) > 0)[0])
+    assert len(bad_rows) <= 2 * 8, f"diff rows {bad_rows}"
+
+
 def test_multiview_matches_single_view(tiny_setup):
     cfg, world = tiny_setup
     from mo_renderer_tpu.passes.frame_graph import Renderer
