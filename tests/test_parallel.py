@@ -49,6 +49,11 @@ def test_multiview_pads_to_mesh(tiny_setup):
     assert frames.shape == (3, cfg.height, cfg.width, 4)
 
 
+def test_graft_dryrun_multichip_small():
+    """The driver's multichip dry run (both mesh axes) on 2 devices."""
+    graft.dryrun_multichip(2)
+
+
 def test_tile_sharded_matches_single():
     """Row-sharded frame (8 bands + SSAO halo exchange) vs unsharded.
 
