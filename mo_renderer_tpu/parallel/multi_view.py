@@ -27,7 +27,7 @@ from ..passes.frame_graph import (
     build_camera_params,
     frame_program,
 )
-from ..scene.scene_buffers import find_shadow_light, pack_scene
+from ..scene.scene_buffers import find_shadow_light
 
 logger = logging.getLogger("mo_renderer_tpu")
 

@@ -38,12 +38,11 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import EngineConfig
 from ..kernels.raster_setup import bin_triangles, triangle_setup
 from ..kernels.rasterizer import rasterize
-from ..passes.frame_graph import Renderer, build_camera_params, present_pass
+from ..passes.frame_graph import Renderer, present_pass
 from ..passes.gbuffer import gbuffer_pass_fast
 from ..passes.shading import shading_pass_fast
 from ..passes.ssao import ssao_halo_rows, ssao_pass_pallas
 from ..passes.vertex_stage import run_vertex_stage
-from ..scene.scene_buffers import find_shadow_light
 from .multi_view import make_view_mesh
 
 logger = logging.getLogger("mo_renderer_tpu")

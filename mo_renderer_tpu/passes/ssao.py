@@ -187,8 +187,6 @@ def ssao_pass_pallas(
     in place of edge padding — the sharded result is then bit-identical
     to the unsharded full-image pass.
     """
-    import functools
-
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
