@@ -69,6 +69,7 @@ def main():
     frame = unpack_rgba8(np.asarray(frame))
     assert frame.shape == (HEIGHT, WIDTH, 4)
     assert frame[..., :3].max() > 0, "black frame"
+    renderer.check_overflow()  # no frame may have dropped geometry
 
     print(json.dumps({
         "metric": "pbr_ibl_1080p_fps",

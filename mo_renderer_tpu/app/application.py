@@ -107,6 +107,14 @@ class App:
         camera = self.world.get_resource(Camera)
         if camera is not None:
             camera.resize((self.config.width, self.config.height))
+            # movement constants from EngineConfig (camera.rs:13-15);
+            # values the user already set on the camera are preserved
+            if camera.rotate_speed is None:
+                camera.rotate_speed = self.config.rotate_speed
+            if camera.move_speed is None:
+                camera.move_speed = self.config.move_speed
+            if camera.mouse_sensitivity is None:
+                camera.mouse_sensitivity = self.config.mouse_sensitivity
 
         if self.renderer is None:
             from ..passes.frame_graph import Renderer

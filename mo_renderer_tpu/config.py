@@ -69,8 +69,11 @@ class EngineConfig:
     # multiple of 128 (TPU lane count), tile_h a multiple of 8.
     tile_h: int = 16
     tile_w: int = 128
-    # Triangles are processed in chunks of this many per tile iteration.
-    tri_chunk: int = 256
+    # Capacity of the per-tile (tile, triangle) pair table built by
+    # bin_triangles.  None = heuristic (4x the triangle count, clamped to
+    # [8192, 2^20]).  Overflow is detected at runtime (Renderer surfaces
+    # the dropped-pair count and raises) — see passes/frame_graph.py.
+    binned_cap: int | None = None
 
     # Static scene capacities (everything under jit needs static shapes).
     max_vertices: int = 1 << 20
@@ -78,9 +81,15 @@ class EngineConfig:
     max_meshes: int = 256
     max_materials: int = 256
     max_lights: int = 16
-    # Texture array: all material textures are resampled into one
-    # (N, tex_size, tex_size, 4) array for coherent per-pixel gathers.
+    # Texture array for the REFERENCE sampling path: all material
+    # textures are resampled into one (N, tex_size, tex_size, 4) array.
+    # The fast path's quad stacks keep NATIVE pow2 sizes instead (capped
+    # at max_texture_size) — see scene/scene_buffers.py.
     texture_array_size: int = 1024
+    # Cap on a fast-path texture-stack entry's side length: native
+    # texture sizes above this are downsampled (stack bytes grow with
+    # size^2 and XLA's gather cost grows with table bytes).
+    max_texture_size: int = 2048
     max_textures: int = 64
     # Fast sampling: quad-packed texture/shadow/IBL layouts + SH9
     # irradiance.  One gather per bilinear sample instead of four (XLA TPU

@@ -90,8 +90,9 @@ class MultiViewRenderer:
             # render each local view through the identical frame program.
             # The shadow map is view-independent: memoized once, shared.
             v_local = params["proj_view"].shape[0]
-            frames = [
-                frame_program(
+            frames, ovfs = [], []
+            for i in range(v_local):
+                rgba, ovf = frame_program(
                     scene, ibl,
                     {k: v[i] for k, v in params.items()},
                     cfg=cfg, pad_w=inner.pad_w, pad_h=inner.pad_h,
@@ -101,10 +102,11 @@ class MultiViewRenderer:
                     slot_map=inner._slot_map,
                     shadow_quads=shadow_quads,
                     static_light_count=inner._n_lights,
+                    with_overflow=True,
                 )
-                for i in range(v_local)
-            ]
-            return jnp.stack(frames)
+                frames.append(rgba)
+                ovfs.append(ovf)
+            return jnp.stack(frames), jnp.stack(ovfs)
 
         @functools.partial(jax.jit, static_argnames=("has_shadow_light",))
         def frame(scene, ibl, params, shadow_quads, has_shadow_light):
@@ -114,7 +116,7 @@ class MultiViewRenderer:
                 ),
                 mesh=mesh,
                 in_specs=(P(), P(), P(axis), P()),
-                out_specs=P(axis),
+                out_specs=(P(axis), P(axis)),
                 check_vma=False,
             )
             return body(scene, ibl, params, shadow_quads)
@@ -122,8 +124,18 @@ class MultiViewRenderer:
         self._n_dev = n_dev
         return frame
 
-    def render_views(self, cameras, world) -> np.ndarray:
-        """Render one frame per camera; returns (V, H, W, 4) uint8."""
+    def render_views_device(self, cameras, world):
+        """Render one frame per camera, leaving the result ON DEVICE.
+
+        Returns the sharded (V_pad, H, W) packed-rgba8 uint32 stack
+        (V_pad = len(cameras) rounded up to a mesh multiple; extra views
+        repeat the last camera) — the multi-chip analog of
+        ``Renderer.render_device``.  Fetching frames to host rides a slow
+        tunnel on some rigs (~160MB/s: 8 views at 4K = 264MB/step), so
+        steady-state loops must stay device-side and sync on one scalar;
+        use ``present.unpack_rgba8(np.asarray(...))`` only for frames you
+        actually need on host.
+        """
         if self._frame_fn is None:
             self.prepare(world)
         from ..scene.scene_buffers import refresh_transforms
@@ -141,9 +153,21 @@ class MultiViewRenderer:
         )
         ibl_maps = self.ibl.maps() if self.ibl is not None else None
         quads = self._inner._cached_shadow_quads(light_pv, has_light)
-        frames = self._frame_fn(
+        frames, overflow = self._frame_fn(
             self.scene, ibl_maps, params, quads, has_shadow_light=has_light
         )
+        self._inner._note_overflow(overflow.max(axis=0))
+        return frames
+
+    def check_overflow(self) -> None:
+        self._inner.check_overflow()
+
+    def render_views(self, cameras, world) -> np.ndarray:
+        """Render one frame per camera; returns (V, H, W, 4) uint8 on
+        host (convenience path — see render_views_device for loops)."""
+        frames = self.render_views_device(cameras, world)
         from ..passes.present import unpack_rgba8
 
-        return unpack_rgba8(np.asarray(frames)[:v])
+        out = unpack_rgba8(np.asarray(frames)[: len(cameras)])
+        self.check_overflow()
+        return out

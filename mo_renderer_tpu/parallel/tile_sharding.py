@@ -52,11 +52,11 @@ def _shadow_quads_replicated(scene, vs, cfg, binned_cap):
     from ..device.sampling import build_pcf_window_u16, build_window_rows_2x4
     from ..passes.frame_graph import _shadow_map_from_clip
 
-    shadow_map = _shadow_map_from_clip(
+    shadow_map, overflow = _shadow_map_from_clip(
         vs.shadow_clip, scene, cfg=cfg, binned_cap=binned_cap
     )
     build = build_pcf_window_u16 if cfg.pcf_u16 else build_window_rows_2x4
-    return build(shadow_map)
+    return build(shadow_map), overflow
 
 
 def row_sharded_frame_body(
@@ -81,9 +81,12 @@ def row_sharded_frame_body(
         params["light_proj_view"],
     )
 
+    shadow_overflow = jnp.zeros((), jnp.int32)
     shadow_quads = None
     if cfg.shadow_enabled and has_shadow_light:
-        shadow_quads = _shadow_quads_replicated(scene, vs, cfg, binned_cap)
+        shadow_quads, shadow_overflow = _shadow_quads_replicated(
+            scene, vs, cfg, binned_cap
+        )
 
     # global setup + binning (replicated; the raster slices its band)
     setup = triangle_setup(
@@ -116,7 +119,7 @@ def row_sharded_frame_body(
     )
     gbuf = gbuffer_pass_fast(
         tri, z, b0, b1, scene, scene.tri_attrs, params,
-        stack_size=cfg.texture_array_size, slot_map=slot_map,
+        slot_map=slot_map,
     )
 
     # --- SSAO with a REAL halo exchange over the mesh -------------------
@@ -155,7 +158,8 @@ def row_sharded_frame_body(
         mirror_half_res=cfg.spec_mirror_half_res,
         row_offset=row0, full_height=pad_h,  # pad_h = viewport height
     )
-    return present_pass(color)  # (h_local, pad_w) packed u32
+    overflow = jnp.stack([binned.overflow, shadow_overflow])
+    return present_pass(color), overflow  # (h_local, pad_w) u32, (2,) i32
 
 
 class TileShardedRenderer:
@@ -229,7 +233,7 @@ class TileShardedRenderer:
                 functools.partial(body, has_shadow_light=has_shadow_light),
                 mesh=mesh,
                 in_specs=(P(), P(), P()),
-                out_specs=P(axis),
+                out_specs=(P(axis), P(axis)),
                 check_vma=False,
             )
             return sharded(scene, ibl, params)
@@ -244,12 +248,19 @@ class TileShardedRenderer:
         self._inner.scene = refresh_transforms(self._inner.scene)
         params, has_light = self._inner.frame_params(world)
         ibl_maps = self.ibl.maps() if self.ibl is not None else None
-        full = self._frame_fn(
+        full, overflow = self._frame_fn(
             self.scene, ibl_maps, params, has_shadow_light=has_light
         )
+        # binning is replicated; every band reports the same counter
+        self._inner._note_overflow(overflow[:2])
         return full[: self.config.height, : self.config.width]
+
+    def check_overflow(self) -> None:
+        self._inner.check_overflow()
 
     def render(self, world) -> np.ndarray:
         from ..passes.present import unpack_rgba8
 
-        return unpack_rgba8(np.asarray(self.render_device(world)))
+        frame = unpack_rgba8(np.asarray(self.render_device(world)))
+        self.check_overflow()
+        return frame

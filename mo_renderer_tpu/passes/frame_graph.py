@@ -75,7 +75,10 @@ def _round_up(x, m):
 
 def _shadow_map_from_clip(shadow_clip, scene, *, cfg, binned_cap):
     """Depth-only raster of the scene from light-space clip positions
-    (shadow_pass.rs semantics: no culling, depth bias 2/2)."""
+    (shadow_pass.rs semantics: no culling, depth bias 2/2).
+
+    Returns (shadow_map, overflow) — overflow is the binning's dropped
+    (tile, tri) pair count (0 = nothing dropped)."""
     smap = cfg.shadow_map_size
     s_setup = triangle_setup(
         shadow_clip, scene.indices, scene.tri_valid, smap, smap,
@@ -96,13 +99,13 @@ def _shadow_map_from_clip(shadow_clip, scene, *, cfg, binned_cap):
         s_binned, width=smap, height=smap,
         tile_h=cfg.tile_h, tile_w=cfg.tile_w, depth_only=True,
     )
-    return shadow_map
+    return shadow_map, s_binned.overflow
 
 
 def shadow_program(scene, light_proj_view, *, cfg, binned_cap):
     """Shadow map as quad-window rows, split out of frame_program so the
     result can be memoized: it is a pure function of
-    (scene, light_proj_view)."""
+    (scene, light_proj_view).  Returns (quad_rows, overflow)."""
     world = jnp.take(scene.mesh_world, scene.vertex_mesh, axis=0)
     pos1 = jnp.concatenate(
         [scene.position, jnp.ones_like(scene.position[:, :1])], axis=-1
@@ -110,9 +113,10 @@ def shadow_program(scene, light_proj_view, *, cfg, binned_cap):
     world_pos4 = jnp.einsum("vij,vj->vi", world, pos1)
     shadow_clip = world_pos4 @ light_proj_view.T
     build = build_pcf_window_u16 if cfg.pcf_u16 else build_window_rows_2x4
-    return build(
-        _shadow_map_from_clip(shadow_clip, scene, cfg=cfg, binned_cap=binned_cap)
+    shadow_map, overflow = _shadow_map_from_clip(
+        shadow_clip, scene, cfg=cfg, binned_cap=binned_cap
     )
+    return build(shadow_map), overflow
 
 
 def frame_program(
@@ -130,6 +134,7 @@ def frame_program(
     slot_map=None,
     shadow_quads=None,
     static_light_count=None,
+    with_overflow=False,
 ):
     """One full deferred frame as a pure function over pytrees.
 
@@ -138,6 +143,10 @@ def frame_program(
     shadow raster -> G-buffer raster -> SSAO -> deferred shading + skybox
     -> present, traced into ONE XLA program.  Shared by the single-view
     Renderer and the multi-chip multi-view path (parallel/multi_view.py).
+
+    with_overflow=True additionally returns a (2,) int32 vector
+    [gbuffer_bin_overflow, shadow_bin_overflow] so callers can detect
+    dropped geometry (SURVEY §7 hard-part 1: never truncate silently).
     """
     use_ssao = cfg.ssao_enabled
     use_shadow = cfg.shadow_enabled
@@ -154,8 +163,9 @@ def frame_program(
     # --- shadow pass (depth-only raster from the light) ------------------
     # skipped entirely when the caller supplies memoized shadow_quads
     shadow_map = None
+    shadow_overflow = jnp.zeros((), jnp.int32)
     if use_shadow and has_shadow_light and not (fast and shadow_quads is not None):
-        shadow_map = _shadow_map_from_clip(
+        shadow_map, shadow_overflow = _shadow_map_from_clip(
             vs.shadow_clip, scene, cfg=cfg, binned_cap=binned_cap
         )
 
@@ -194,7 +204,7 @@ def frame_program(
         )
         gbuf = gbuffer_pass_from_planes(
             tri, z, attrs, mat_plane, ht_plane, scene, params,
-            stack_size=cfg.texture_array_size, slot_map=slot_map,
+            slot_map=slot_map,
         )
     else:
         tri, z, b0, b1 = rasterize(
@@ -204,7 +214,7 @@ def frame_program(
         if fast:
             gbuf = gbuffer_pass_fast(
                 tri, z, b0, b1, scene, scene.tri_attrs, params,
-                stack_size=cfg.texture_array_size, slot_map=slot_map,
+                slot_map=slot_map,
             )
         else:
             gbuf = gbuffer_pass(tri, z, b0, b1, scene, vs)
@@ -213,18 +223,21 @@ def frame_program(
     if use_ssao:
         if cfg.ssao_pallas:
             ssao = ssao_pass_pallas(
-                gbuf.depth, tile_h=cfg.tile_h, tile_w=cfg.tile_w
+                gbuf.depth, tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+                near=cfg.ssao_near, far=cfg.ssao_far,
             )
         else:
-            ssao = ssao_pass(gbuf.depth)
+            ssao = ssao_pass(
+                gbuf.depth, near=cfg.ssao_near, far=cfg.ssao_far
+            )
     else:
         ssao = jnp.ones_like(gbuf.depth)
 
     # --- shading + skybox + tonemap ---------------------------------------
     if fast:
         if shadow_quads is None and shadow_map is not None:
-            build = build_pcf_window_u16 if cfg.pcf_u16 else build_window_rows_2x4
-            shadow_quads = build(shadow_map)
+            build_q = build_pcf_window_u16 if cfg.pcf_u16 else build_window_rows_2x4
+            shadow_quads = build_q(shadow_map)
         if not (use_shadow and has_shadow_light):
             shadow_quads = None
         color = shading_pass_fast(
@@ -247,7 +260,10 @@ def frame_program(
 
     rgba = present_pass(ctx["color"])  # (H, W) packed uint32
     # crop padding back to the configured size
-    return rgba[: cfg.height, : cfg.width]
+    rgba = rgba[: cfg.height, : cfg.width]
+    if with_overflow:
+        return rgba, jnp.stack([binned.overflow, shadow_overflow])
+    return rgba
 
 
 class Renderer:
@@ -259,6 +275,7 @@ class Renderer:
         self.scene = None
         self.ibl = None
         self._frame_fn = None
+        self._pending_overflow = []
         # padded framebuffer (tiles must divide the raster target)
         self.pad_w = _round_up(config.width, config.tile_w)
         self.pad_h = _round_up(config.height, config.tile_h)
@@ -273,7 +290,10 @@ class Renderer:
             ibl_res.ensure_computed()
             self.ibl = ibl_res
         t = int(self.scene.indices.shape[0])
-        self._binned_cap = _round_up(min(max(8192, 4 * t), 1 << 20), 8)
+        if self.config.binned_cap is not None:
+            self._binned_cap = _round_up(self.config.binned_cap, 8)
+        else:
+            self._binned_cap = _round_up(min(max(8192, 4 * t), 1 << 20), 8)
         # the stacked-texture fast path samples every slot with UV set 0;
         # scenes using UV1 (rare) fall back to the reference samplers
         uses_uv1 = bool(np.asarray(self.scene.materials[:, 5:10]).any())
@@ -315,6 +335,7 @@ class Renderer:
                 slot_map=slot_map,
                 shadow_quads=shadow_quads,
                 static_light_count=n_lights,
+                with_overflow=True,
             )
 
         self._shadow_fn = jax.jit(
@@ -322,7 +343,59 @@ class Renderer:
         )
         self._shadow_key = None
         self._shadow_quads = None
+        self._pending_overflow = []
         return frame
+
+    # --- overflow surfacing (SURVEY §7 hard-part 1) ----------------------
+    # Binning caps are static under jit, so dropped (tile, tri) pairs are
+    # counted on device and surfaced here.  render_device keeps the tiny
+    # per-frame counter ON DEVICE; counters older than the lag window are
+    # fetched (8 bytes, frames long since computed — no pipeline stall,
+    # and the window keeps host round-trips off short benchmark loops);
+    # render()/check_overflow() drain synchronously.
+    _OVERFLOW_LAG = 64
+
+    def _note_overflow(self, ovf) -> None:
+        self._pending_overflow.append(ovf)
+        while len(self._pending_overflow) > self._OVERFLOW_LAG:
+            self._raise_if_overflow(self._pending_overflow.pop(0))
+
+    def _raise_if_overflow(self, ovf) -> None:
+        v = np.asarray(ovf)
+        if v.any():
+            raise RuntimeError(
+                f"rasterizer bin overflow: {int(v[0])} G-buffer and "
+                f"{int(v[1])} shadow (tile, triangle) pairs dropped — "
+                f"geometry is missing from the frame.  Raise "
+                f"EngineConfig.binned_cap (current {self._binned_cap}) "
+                f"and re-prepare."
+            )
+
+    def check_overflow(self) -> None:
+        """Drain all pending overflow counters; raises if any frame
+        dropped geometry.  Called automatically by render(); device-
+        resident loops (render_device) should call it at checkpoints."""
+        while self._pending_overflow:
+            self._raise_if_overflow(self._pending_overflow.pop(0))
+
+    def resize(self, width: int, height: int) -> None:
+        """Swapchain-recreate analog (mo_vk/src/lib.rs:352-388): rebuild
+        pad/tile geometry and re-jit the frame for a new resolution.
+        The packed scene, IBL maps, and shadow path are resolution-
+        independent and are reused; only the frame program recompiles."""
+        import dataclasses as _dc
+
+        self.config = _dc.replace(self.config, width=width, height=height)
+        self.pad_w = _round_up(width, self.config.tile_w)
+        self.pad_h = _round_up(height, self.config.tile_h)
+        for p in self.extra_passes:
+            p.on_swapchain_recreate((width, height))
+        if self.scene is not None:
+            self._frame_fn = self._build_frame_fn()
+            logger.info(
+                "renderer resized: fb %dx%d (pad %dx%d)",
+                width, height, self.pad_w, self.pad_h,
+            )
 
     def _cached_shadow_quads(self, light_pv, has_light):
         """Memoized shadow map (quad rows): recomputed only when the
@@ -337,9 +410,14 @@ class Renderer:
             return None
         key = (np.asarray(light_pv).tobytes(), id(self.scene))
         if key != self._shadow_key:
-            self._shadow_quads = self._shadow_fn(
+            self._shadow_quads, ovf = self._shadow_fn(
                 self.scene, jnp.asarray(light_pv)
             )
+            if int(np.asarray(ovf)):
+                raise RuntimeError(
+                    f"shadow raster bin overflow: {int(np.asarray(ovf))} "
+                    f"pairs dropped; raise EngineConfig.binned_cap"
+                )
             self._shadow_key = key
         return self._shadow_quads
 
@@ -360,10 +438,14 @@ class Renderer:
         params, has_light = self.frame_params(world)
         ibl_maps = self.ibl.maps() if self.ibl is not None else None
         quads = self._cached_shadow_quads(params["light_proj_view"], has_light)
-        return self._frame_fn(
+        rgba, overflow = self._frame_fn(
             self.scene, ibl_maps, params, quads, has_shadow_light=has_light
         )
+        self._note_overflow(overflow)
+        return rgba
 
     def render(self, world) -> np.ndarray:
         """One frame fetched to host as (H, W, 4) uint8 rgba."""
-        return unpack_rgba8(np.asarray(self.render_device(world)))
+        frame = unpack_rgba8(np.asarray(self.render_device(world)))
+        self.check_overflow()  # the fetch already synced; checks are free
+        return frame

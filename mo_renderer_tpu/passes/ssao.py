@@ -48,19 +48,20 @@ for _i in range(NUM_RINGS):
 _TOTAL = sum(f for _, _, f in _TAPS)
 
 
-def _linear_depth(d):
-    """ssao.comp:22-24."""
-    return (2.0 * NEAR) / (FAR + NEAR - d * (FAR - NEAR))
+def _linear_depth(d, near=NEAR, far=FAR):
+    """ssao.comp:22-24 (near/far from EngineConfig.ssao_near/ssao_far;
+    defaults match the shader's hardcoded 0.1/100)."""
+    return (2.0 * near) / (far + near - d * (far - near))
 
 
-def _compare_depths(d1, d2):
+def _compare_depths(d1, d2, near=NEAR, far=FAR):
     """ssao.comp:26-34."""
     ao_cap = 0.5
     ao_multiplier = 50.0
     depth_tolerance = 0.001
     ao_range = 60.0
     diff = jnp.sqrt(
-        jnp.clip(1.0 - (d1 - d2) / (ao_range / (FAR - NEAR)), 0.0, 1.0)
+        jnp.clip(1.0 - (d1 - d2) / (ao_range / (far - near)), 0.0, 1.0)
     )
     return jnp.minimum(ao_cap, jnp.maximum(0.0, d1 - d2 - depth_tolerance) * ao_multiplier) * diff
 
@@ -88,10 +89,11 @@ def _radii(depth_lin, w, h):
     return rw, rh
 
 
-def ssao_pass(depth: jnp.ndarray, num_levels: int = 16) -> jnp.ndarray:
+def ssao_pass(depth: jnp.ndarray, num_levels: int = 16,
+              near=NEAR, far=FAR) -> jnp.ndarray:
     """Radius-quantized SSAO: depth (H, W) raw [0,1] -> ao (H, W) [0,1]."""
     h, w = depth.shape
-    d_lin = _linear_depth(depth)
+    d_lin = _linear_depth(depth, near, far)
     rw, _rh = _radii(d_lin, w, h)
 
     # geometric radius levels spanning the achievable range:
@@ -120,7 +122,9 @@ def ssao_pass(depth: jnp.ndarray, num_levels: int = 16) -> jnp.ndarray:
 
     def compare_at(ox, oy):
         if (ox, oy) not in compare_cache:
-            compare_cache[(ox, oy)] = _compare_depths(d_lin, shifted(ox, oy))
+            compare_cache[(ox, oy)] = _compare_depths(
+                d_lin, shifted(ox, oy), near, far
+            )
         return compare_cache[(ox, oy)]
 
     ao = jnp.zeros_like(d_lin)
@@ -171,6 +175,8 @@ def ssao_pass_pallas(
     tile_w: int = 128,
     row_offset: int = 0,
     y_halo=None,
+    near=NEAR,
+    far=FAR,
 ) -> jnp.ndarray:
     """ssao_pass with the tap loop inside one Pallas tile kernel.
 
@@ -200,14 +206,15 @@ def ssao_pass_pallas(
     pad_y = ((max_off + 7) // 8) * 8
     pad_x = 128
     assert max_off <= pad_x
-    d_lin = _linear_depth(depth)
+    d_lin = _linear_depth(depth, near, far)
     if y_halo is None:
         padded = jnp.pad(d_lin, ((pad_y, pad_y), (pad_x, pad_x)), mode="edge")
     else:
         top, bottom = y_halo
         assert top.shape == (pad_y, w) and bottom.shape == (pad_y, w)
         padded = jnp.concatenate(
-            [_linear_depth(top), d_lin, _linear_depth(bottom)], axis=0
+            [_linear_depth(top, near, far), d_lin,
+             _linear_depth(bottom, near, far)], axis=0
         )
         padded = jnp.pad(padded, ((0, 0), (pad_x, pad_x)), mode="edge")
     win_h, win_w = tile_h + 2 * pad_y, tile_w + 2 * pad_x
@@ -250,7 +257,7 @@ def ssao_pass_pallas(
                     pad_y + oy : pad_y + oy + tile_h,
                     pad_x + ox : pad_x + ox + tile_w,
                 ]
-                cache[(ox, oy)] = _compare_depths(dd, shifted)
+                cache[(ox, oy)] = _compare_depths(dd, shifted, near, far)
             return cache[(ox, oy)]
 
         ao = jnp.zeros((tile_h, tile_w), jnp.float32)
@@ -286,13 +293,13 @@ def ssao_pass_pallas(
     )(edges_in, roff, padded)
 
 
-def ssao_pass_exact(depth: jnp.ndarray) -> jnp.ndarray:
+def ssao_pass_exact(depth: jnp.ndarray, near=NEAR, far=FAR) -> jnp.ndarray:
     """Direct gather port of ssao.comp (numeric oracle; slow on TPU)."""
     h, w = depth.shape
     iy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     ix = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
 
-    d_lin = _linear_depth(depth)
+    d_lin = _linear_depth(depth, near, far)
     rw, rh = _radii(d_lin, w, h)
 
     ao = jnp.zeros_like(d_lin)
@@ -301,8 +308,8 @@ def ssao_pass_exact(depth: jnp.ndarray) -> jnp.ndarray:
         oy = jnp.trunc(sh * rh).astype(jnp.int32)
         sy = jnp.clip(iy + oy, 0, h - 1)
         sx = jnp.clip(ix + ox, 0, w - 1)
-        d_s = _linear_depth(depth.reshape(-1)[sy * w + sx])
-        ao = ao + _compare_depths(d_lin, d_s) * fade
+        d_s = _linear_depth(depth.reshape(-1)[sy * w + sx], near, far)
+        ao = ao + _compare_depths(d_lin, d_s, near, far) * fade
 
     ao = 1.0 - ao / _TOTAL
     return jnp.round(jnp.clip(ao, 0.0, 1.0) * 255.0) / 255.0

@@ -82,6 +82,12 @@ class Camera:
         self._prev_view: np.ndarray | None = None
         self._proj = np.eye(4, dtype=np.float32)
         self.is_dirty = True
+        # movement constants (camera.rs:13-15); None = not explicitly set,
+        # App.resumed fills them from EngineConfig (whose defaults are the
+        # reference values) — a user-set value always wins.
+        self.rotate_speed: float | None = None
+        self.move_speed: float | None = None
+        self.mouse_sensitivity: float | None = None
 
     # --- accessors (camera.rs:140-201) ----------------------------------
     def position(self) -> np.ndarray:
@@ -175,11 +181,22 @@ class Camera:
         input_res: Input = world.resource(Input)
         timer: Timer = world.resource(Timer)
         dt = timer.delta()
+        rot_speed = (
+            camera.rotate_speed if camera.rotate_speed is not None else ROTATE_SPEED
+        )
+        mouse_sens = (
+            camera.mouse_sensitivity
+            if camera.mouse_sensitivity is not None
+            else MOUSE_SENSITIVITY
+        )
+        move_speed = (
+            camera.move_speed if camera.move_speed is not None else MOVE_SPEED
+        )
 
         if input_res.button_state(EInputButton.MOUSE_RIGHT) == EInputState.ACTIVATED:
             dx, dy = input_res.mouse_delta()
-            yaw_amount = -dx * ROTATE_SPEED * dt * MOUSE_SENSITIVITY
-            pitch_amount = dy * ROTATE_SPEED * dt * MOUSE_SENSITIVITY
+            yaw_amount = -dx * rot_speed * dt * mouse_sens
+            pitch_amount = dy * rot_speed * dt * mouse_sens
             # yaw about world Y, pitch about local X (camera.rs:270-275)
             camera.transform.rotation = quat.mul(
                 quat.mul(quat.from_rotation_y(yaw_amount), camera.transform.rotation),
@@ -213,7 +230,7 @@ class Camera:
         n = np.linalg.norm(movement)
         if n > 0.0:
             camera.transform.translation = (
-                camera.transform.translation + movement / n * MOVE_SPEED
+                camera.transform.translation + movement / n * move_speed
             )
             camera.is_dirty = True
 

@@ -131,11 +131,11 @@ def main():
 
     # whole frame for comparison
     frame = r._frame_fn
-    out = frame(scene, ibl, params, has_shadow_light=True)
+    out, _ = frame(scene, ibl, params, None, has_shadow_light=True)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(REPS):
-        out = frame(scene, ibl, params, has_shadow_light=True)
+        out, _ = frame(scene, ibl, params, None, has_shadow_light=True)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / REPS
     print(f"{'FULL FRAME':26s} {dt * 1e3:9.2f} ms   "

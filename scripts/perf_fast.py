@@ -90,7 +90,6 @@ def main():
     tri, z, b0, b1 = rast(binned)
 
     gb_fn = functools.partial(gbuffer_pass_fast,
-                              stack_size=cfg.texture_array_size,
                               slot_map=r._slot_map)
     timeit("gbuffer_fast", gb_fn, tri, z, b0, b1, scene, tri_attrs, params)
     gbuf = gb_fn(tri, z, b0, b1, scene, tri_attrs, params)
@@ -128,7 +127,7 @@ def main():
 
     frame = r._frame_fn
     f = jax.jit(lambda s, i, p: _scalar(
-        frame(s, i, p, None, has_shadow_light=True)))
+        frame(s, i, p, None, has_shadow_light=True)[0]))
     out = f(scene, ibl, params)
     np.asarray(out)
     t0 = time.perf_counter()

@@ -25,13 +25,13 @@ def main():
     params, has_light = r.frame_params(app.world)
     ibl = r.ibl.maps()
 
-    f = r._frame_fn(r.scene, ibl, params, None, has_shadow_light=has_light)
+    f, _ = r._frame_fn(r.scene, ibl, params, None, has_shadow_light=has_light)
     np.asarray(f[0, 0])
     for trial in range(8):
         t0 = time.perf_counter()
         for _ in range(10):
-            f = r._frame_fn(r.scene, ibl, params, None,
-                            has_shadow_light=has_light)
+            f, _ = r._frame_fn(r.scene, ibl, params, None,
+                                has_shadow_light=has_light)
         np.asarray(f[0, 0])
         dt = (time.perf_counter() - t0) / 10
         print(f"trial {trial}: {dt*1e3:8.2f} ms  ({1.0/dt:.2f} fps)",

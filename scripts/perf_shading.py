@@ -76,12 +76,11 @@ def main():
     tri, z, b0, b1 = rasterize(binned, width=pad_w, height=pad_h,
                                tile_h=cfg.tile_h, tile_w=cfg.tile_w)
     gbuf = gbuffer_pass_fast(tri, z, b0, b1, scene, scene.tri_attrs, params,
-                             stack_size=cfg.texture_array_size,
                              slot_map=r._slot_map)
     squads = build_window_rows_2x4(jnp.zeros((smap, smap), jnp.float32))
 
     timeit("gbuffer_fast", lambda *a: gbuffer_pass_fast(
-        *a, stack_size=cfg.texture_array_size, slot_map=r._slot_map),
+        *a, slot_map=r._slot_map),
         tri, z, b0, b1, scene, scene.tri_attrs, params)
     timeit("env_brdf_poly", brdf.env_brdf_poly,
            gbuf.orm[..., 0], gbuf.orm[..., 1])
@@ -99,7 +98,7 @@ def main():
 
     frame = r._frame_fn
     f = jax.jit(lambda s, i, p: _scalar(
-        frame(s, i, p, None, has_shadow_light=True)))
+        frame(s, i, p, None, has_shadow_light=True)[0]))
     out = f(scene, ibl, params)
     np.asarray(out)
     t0 = time.perf_counter()

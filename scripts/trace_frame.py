@@ -39,14 +39,14 @@ def capture():
     params, _ = r.frame_params(app.world)
     ibl = r.ibl.maps()
 
-    f = r._frame_fn(r.scene, ibl, params, None, has_shadow_light=True)
+    f, _ = r._frame_fn(r.scene, ibl, params, None, has_shadow_light=True)
     np.asarray(f[0, 0])
     print("warm; tracing 5 frames", flush=True)
 
     shutil.rmtree(TRACE_DIR, ignore_errors=True)
     jax.profiler.start_trace(TRACE_DIR)
     for _ in range(5):
-        f = r._frame_fn(r.scene, ibl, params, None, has_shadow_light=True)
+        f, _ = r._frame_fn(r.scene, ibl, params, None, has_shadow_light=True)
     np.asarray(f[0, 0])
     jax.profiler.stop_trace()
 

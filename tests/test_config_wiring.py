@@ -1,0 +1,149 @@
+"""Every EngineConfig knob must be live: overflow surfacing via
+binned_cap, SSAO near/far threading, camera speed trio, capacity caps,
+and the resize (swapchain-recreate analog) API."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import __graft_entry__ as graft
+from mo_renderer_tpu.assets.procedural import procedural_model
+from mo_renderer_tpu.config import EngineConfig
+from mo_renderer_tpu.math.transform import Transform
+from mo_renderer_tpu.passes.frame_graph import Renderer
+from mo_renderer_tpu.scene.components import DirectionalLight
+from mo_renderer_tpu.scene.world import World
+
+
+def _world(cfg):
+    world = graft._tiny_world()
+    world.insert_resource(graft._camera(cfg))
+    return world
+
+
+def test_binned_cap_overflow_raises():
+    """An undersized pair table must raise, never silently drop geometry
+    (SURVEY §7 hard-part 1)."""
+    cfg = dataclasses.replace(graft._tiny_config(), binned_cap=8)
+    world = _world(cfg)
+    r = Renderer(cfg)
+    r.prepare(world)
+    assert r._binned_cap == 8
+    with pytest.raises(RuntimeError, match="bin overflow"):
+        r.render(world)
+
+
+def test_default_cap_no_overflow():
+    cfg = graft._tiny_config()
+    world = _world(cfg)
+    r = Renderer(cfg)
+    r.prepare(world)
+    r.render(world)
+    r.check_overflow()  # second drain is a no-op
+
+
+def test_ssao_far_changes_image():
+    cfg = graft._tiny_config()
+    world = _world(cfg)
+    r = Renderer(cfg)
+    r.prepare(world)
+    f0 = r.render(world)
+
+    cfg2 = dataclasses.replace(cfg, ssao_far=10.0)
+    r2 = Renderer(cfg2)
+    r2.prepare(world)
+    f1 = r2.render(world)
+    assert not np.array_equal(f0, f1), "ssao_far must affect the image"
+
+    # ssao disabled -> far is irrelevant
+    cfg3 = dataclasses.replace(cfg, ssao_enabled=False)
+    cfg4 = dataclasses.replace(cfg3, ssao_far=10.0)
+    ra, rb = Renderer(cfg3), Renderer(cfg4)
+    ra.prepare(world)
+    rb.prepare(world)
+    np.testing.assert_array_equal(ra.render(world), rb.render(world))
+
+
+def test_camera_speed_config_applied():
+    from mo_renderer_tpu.app.application import App
+    from mo_renderer_tpu.scene.camera import Camera
+    from mo_renderer_tpu.scene.input import EInputButton, Input
+    from mo_renderer_tpu.scene.timer import Timer
+
+    cfg = dataclasses.replace(graft._tiny_config(), move_speed=0.5)
+    app = App.new(config=cfg)
+    app.world = _world(cfg)
+    timer = Timer()
+    timer.fixed_step = 0.1
+    app.insert_resource(timer)
+    app.insert_resource(Input())
+    app.resumed()
+
+    cam: Camera = app.world.resource(Camera)
+    assert cam.move_speed == 0.5  # filled from config
+
+    timer: Timer = app.world.resource(Timer)
+    timer.next()
+    inp: Input = app.world.resource(Input)
+    inp.press(EInputButton.key("W"))
+    p0 = cam.position().copy()
+    Camera.update_camera(app.world)
+    moved = np.linalg.norm(cam.position() - p0)
+    assert moved == pytest.approx(0.5, rel=1e-5)
+
+    # an explicit user-set value wins over config
+    cam2 = Camera(position=(0, 0, 0))
+    cam2.move_speed = 0.25
+    app.world.insert_resource(cam2)
+    app._resumed = False
+    app.resumed()
+    assert cam2.move_speed == 0.25
+
+
+def test_capacity_caps_enforced():
+    cfg = dataclasses.replace(graft._tiny_config(), max_meshes=2)
+    world = World()
+    for i in range(3):
+        world.spawn((
+            Transform.from_xyz(float(i), 0.0, 0.0),
+            procedural_model("cube"),
+        ))
+    world.spawn((DirectionalLight(
+        Transform.from_xyz(5.0, 8.0, 5.0).looking_at((0.0, 0.0, 0.0)),
+        (1.0, 1.0, 1.0), 4.0, True,
+    ),))
+    world.insert_resource(graft._tiny_ibl())
+    r = Renderer(cfg)
+    with pytest.raises(ValueError, match="max_meshes"):
+        r.prepare(world)
+
+    cfg2 = dataclasses.replace(graft._tiny_config(), max_materials=1)
+    r2 = Renderer(cfg2)
+    with pytest.raises(ValueError, match="max_materials"):
+        r2.prepare(world)
+
+
+def test_renderer_resize():
+    """One Renderer renders correctly at two resolutions
+    (on_swapchain_recreate analog, mo_vk/src/lib.rs:352-388)."""
+    cfg = graft._tiny_config()
+    world = _world(cfg)
+    r = Renderer(cfg)
+    r.prepare(world)
+    f0 = r.render(world)
+    assert f0.shape == (cfg.height, cfg.width, 4)
+
+    r.resize(320, 192)
+    cam = graft._camera(dataclasses.replace(cfg, width=320, height=192))
+    world.insert_resource(cam)
+    f1 = r.render(world)
+    assert f1.shape == (192, 320, 4)
+    # still a real image: sky everywhere -> non-black
+    assert (f1[..., :3].sum(-1) > 0).mean() > 0.99
+
+    # back to the original size: matches the first frame exactly
+    r.resize(cfg.width, cfg.height)
+    world.insert_resource(graft._camera(cfg))
+    f2 = r.render(world)
+    np.testing.assert_array_equal(f0, f2)
