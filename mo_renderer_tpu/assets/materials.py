@@ -117,9 +117,13 @@ MAT_METALLIC_FACTOR = 18
 MAT_ROUGHNESS_FACTOR = 19
 MAT_ALPHA_MODE = 20
 MAT_ALPHA_CUTOFF = 21
-# id of this material's quad-packed texture stack entry (scene packing
-# dedupes materials that share all five texture layers)
-MAT_STACK_ID = 22
+# This material's quad-packed texture stack entry: starting row offset
+# and side length (scene packing dedupes materials that share all five
+# texture layers; entries keep their NATIVE pow2 resolution — the
+# reference binds textures at native size via the bindless array,
+# mo_vk/src/texture.rs:74-102, gbuffer_pass.rs:756-768)
+MAT_STACK_BASE = 22
+MAT_STACK_SIZE = 23
 # Per-slot constant RGBA (cols 24..43): when a slot's texture layer is a
 # uniform color for EVERY material in the scene, scene packing marks the
 # slot constant and the G-buffer pass reads this value instead of

@@ -166,7 +166,6 @@ def _ndc01(c):
 
 
 def gbuffer_pass_fast(tri, z, b0, b1, scene, tri_attrs, params,
-                      stack_size: int,
                       slot_map: tuple = (0, 1, 2, 3, 4)) -> GBuffer:
     """Gather-minimal G-buffer: typically 2-4 gathers per pixel total.
 
@@ -236,13 +235,13 @@ def gbuffer_pass_fast(tri, z, b0, b1, scene, tri_attrs, params,
 
     return _texture_and_assemble(
         covered, z, world_pos, n_in, t_in, bt_in, uv0, mat_id, has_tangent,
-        velocity, scene, stack_size, slot_map,
+        velocity, scene, slot_map,
     )
 
 
 def _texture_and_assemble(
     covered, z, world_pos, n_in, t_in, bt_in, uv0, mat_id, has_tangent,
-    velocity, scene, stack_size, slot_map,
+    velocity, scene, slot_map,
 ):
     """Shared fast-path tail: material fetch, texture-stack sampling,
     factor application, TBN normal mapping, G-buffer assembly."""
@@ -255,13 +254,23 @@ def _texture_and_assemble(
         precision=jax.lax.Precision.HIGHEST,
     )
 
-    # texture-stack gathers over the sampled slots only
-    s = stack_size
+    # texture-stack gathers over the sampled slots only; each material's
+    # stack entry has its own native size (MAT_STACK_BASE/SIZE), so the
+    # bilinear index math runs with per-pixel sizes (REPEAT wrap)
     n_sampled = sum(1 for p in slot_map if p >= 0)
     if n_sampled > 0:
-        stack_id = mat[..., M.MAT_STACK_ID].astype(jnp.int32)
-        idx, fx, fy = sampling.bilinear_weights(uv0, s, s, sampling.REPEAT)
-        idx = idx + stack_id * (s * s)
+        base = mat[..., M.MAT_STACK_BASE].astype(jnp.int32)
+        se_f = mat[..., M.MAT_STACK_SIZE]
+        se_i = se_f.astype(jnp.int32)
+        x = uv0[..., 0] * se_f - 0.5
+        y = uv0[..., 1] * se_f - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = x - x0
+        fy = y - y0
+        x0i = jnp.mod(x0.astype(jnp.int32), se_i)
+        y0i = jnp.mod(y0.astype(jnp.int32), se_i)
+        idx = base + y0i * se_i + x0i
         groups = [scene.texture_stack_a]
         if n_sampled > 2:
             groups.append(scene.texture_stack_b)
@@ -325,7 +334,7 @@ def _texture_and_assemble(
 
 
 def gbuffer_pass_from_planes(tri, z, attrs, mat_plane, ht_plane, scene,
-                             params, stack_size: int,
+                             params,
                              slot_map: tuple = (0, 1, 2, 3, 4)) -> GBuffer:
     """G-buffer from the megakernel's interpolated planes
     (kernels/rasterizer.rasterize_attrs): the attrs-row gather and the
@@ -355,5 +364,5 @@ def gbuffer_pass_from_planes(tri, z, attrs, mat_plane, ht_plane, scene,
 
     return _texture_and_assemble(
         covered, z, world_pos, n_in, t_in, bt_in, uv0, mat_id, has_tangent,
-        velocity, scene, stack_size, slot_map,
+        velocity, scene, slot_map,
     )

@@ -72,21 +72,25 @@ class SceneBuffers:
 
     # materials + textures
     materials: jnp.ndarray  # (MAT, MATERIAL_STRIDE) f32
-    textures: jnp.ndarray  # (L, S, S, 4) uint8
-    # quad-packed per-material texture stack: row (m*S*S + y*S + x) holds
-    # the 2x2 bilinear quad (REPEAT wrap baked in) of the 5 material slots
-    # (base, normal, mr, occlusion, emissive) as packed-RGBA uint32s, split
-    # into 8/8/4-wide arrays because XLA's TPU gather emitter has a fast
-    # tier for rows <= 32 bytes — 3 gathers fetch all 5 texture samples of
-    # a pixel (see passes/gbuffer.py).
+    textures: jnp.ndarray  # (L, S, S, 4) uint8 (reference-path array)
+    # quad-packed per-material texture stack: each stack ENTRY (a unique
+    # 5-layer combination) occupies S_e*S_e consecutive rows at its own
+    # NATIVE pow2 resolution S_e (the reference binds native sizes via
+    # the bindless array, gbuffer_pass.rs:756-768); the material row
+    # carries (MAT_STACK_BASE, MAT_STACK_SIZE).  Row (base + y*S_e + x)
+    # holds the 2x2 bilinear quad (REPEAT wrap baked in) of the 5
+    # material slots (base, normal, mr, occlusion, emissive) as
+    # packed-RGBA uint32s, split into 8/8/4-wide arrays because XLA's TPU
+    # gather emitter has a fast tier for rows <= 32 bytes — 3 gathers
+    # fetch all 5 texture samples of a pixel (see passes/gbuffer.py).
     # Slots whose layer is a uniform color for every material are NOT in
     # the stack (their per-material constant lives in the material table,
     # materials.MAT_CONST_BASE); stack_slots maps slot -> position among
     # the sampled slots (-1 = constant).  Groups a/b/c hold sampled
     # positions 0-1 / 2-3 / 4 (each gather row <= 32 bytes, the fast tier).
-    texture_stack_a: jnp.ndarray  # (M_used*S*S, 4*k0) uint32
-    texture_stack_b: jnp.ndarray  # (M_used*S*S, 4*k1) uint32
-    texture_stack_c: jnp.ndarray  # (M_used*S*S, 4*k2) uint32
+    texture_stack_a: jnp.ndarray  # (total_rows, 4*k0) uint32
+    texture_stack_b: jnp.ndarray  # (total_rows, 4*k1) uint32
+    texture_stack_c: jnp.ndarray  # (total_rows, 4*k2) uint32
     stack_slots: jnp.ndarray  # (5,) int32 (host-read, static per scene)
 
     # lights (padded to a multiple of 4, NOT to max_lights: the shading
@@ -187,11 +191,11 @@ def pack_scene(world, config: EngineConfig) -> SceneBuffers:
             )
             row = pack_material_gpu(mat, *slot_layers)
             # dedupe texture stacks: materials sharing all 5 layers share
-            # one stack entry (the stack costs S*S bytes per slot entry)
+            # one stack entry (the stack costs S_e*S_e rows per entry);
+            # base/size are filled in below once entry sizes are known
             if slot_layers not in stack_ids:
                 stack_ids[slot_layers] = len(material_slot_layers)
                 material_slot_layers.append(slot_layers)
-            row[pack_M.MAT_STACK_ID] = stack_ids[slot_layers]
             mesh.gpu_mat_index = len(material_rows)
             mesh_materials.append(mesh.gpu_mat_index)
             material_rows.append(row)
@@ -232,10 +236,25 @@ def pack_scene(world, config: EngineConfig) -> SceneBuffers:
     tri_valid[:t_count] = True
 
     m_count = len(mesh_worlds)
+    if m_count > config.max_meshes:
+        raise ValueError(
+            f"scene too large: {m_count} meshes exceed "
+            f"EngineConfig.max_meshes={config.max_meshes}"
+        )
+    if len(material_rows) > config.max_materials:
+        raise ValueError(
+            f"scene too large: {len(material_rows)} materials exceed "
+            f"EngineConfig.max_materials={config.max_materials}"
+        )
+    if len(texture_images) > config.max_textures:
+        raise ValueError(
+            f"scene too large: {len(texture_images)} unique textures "
+            f"exceed EngineConfig.max_textures={config.max_textures}"
+        )
     m_pad = _round_up(max(m_count, 1), 64)
     mat_pad = _round_up(max(len(material_rows), 1), 64)
 
-    # texture array: resize every layer to one size
+    # texture array for the REFERENCE sampling path: one shared size
     s = config.texture_array_size
     layers = [resize_rgba(img, s) for img in texture_images]
     tex_array = np.stack(layers).astype(np.uint8)
@@ -244,6 +263,7 @@ def pack_scene(world, config: EngineConfig) -> SceneBuffers:
     def _quad_u32(img: np.ndarray) -> np.ndarray:
         from ..native import pack_quads_u32
 
+        se = img.shape[0]
         native = pack_quads_u32(np.ascontiguousarray(img))
         if native is not None:
             return native
@@ -256,20 +276,22 @@ def pack_scene(world, config: EngineConfig) -> SceneBuffers:
         xs = np.roll(u32, -1, axis=1)  # REPEAT wrap baked in
         ys = np.roll(u32, -1, axis=0)
         xys = np.roll(xs, -1, axis=0)
-        return np.stack([u32, xs, ys, xys], axis=-1).reshape(s * s, 4)
+        return np.stack([u32, xs, ys, xys], axis=-1).reshape(se * se, 4)
 
-    quad_cache: dict[int, np.ndarray] = {}
+    quad_cache: dict[tuple[int, int], np.ndarray] = {}
 
-    def quad_of(layer: int) -> np.ndarray:
-        if layer not in quad_cache:
-            quad_cache[layer] = _quad_u32(layers[layer])
-        return quad_cache[layer]
+    def quad_of(layer: int, se: int) -> np.ndarray:
+        if (layer, se) not in quad_cache:
+            quad_cache[(layer, se)] = _quad_u32(
+                resize_rgba(texture_images[layer], se)
+            )
+        return quad_cache[(layer, se)]
 
     # constant-slot specialization: a slot whose texture layer is a
     # uniform color for EVERY material skips the stack gather entirely;
     # its per-material constant goes into the material table instead.
     uniform_rgba: list = []
-    for img in layers:
+    for img in texture_images:
         flat = img.reshape(-1, 4)
         uniform_rgba.append(
             flat[0].astype(np.float32) / 255.0
@@ -296,6 +318,62 @@ def pack_scene(world, config: EngineConfig) -> SceneBuffers:
                 base = pack_M.MAT_CONST_BASE + 4 * slot
                 row[base : base + 4] = c
 
+    # per-entry NATIVE pow2 size: max over the SAMPLED slots' source
+    # images (the reference binds native sizes, texture.rs:74-102), capped
+    # at max_texture_size (table bytes drive the gather cost).  Uniform
+    # layers don't force size up — their texels are constant anyway.
+    def _pow2_at_least(n: int) -> int:
+        p = 4
+        while p < n:
+            p *= 2
+        return p
+
+    # Effective CONTENT size: the smallest pow2 at which a layer still
+    # reproduces its full-size self within _CONTENT_TOL u8 LSBs.  Asset
+    # pipelines routinely ship flat maps at large sizes (the reference's
+    # flat_normal_map.png is 512^2 of +-2 LSB compression noise around
+    # (128,128,255)); binding those at stored size would multiply stack
+    # rows for zero content.  Real detail (checkers, photos) fails the
+    # round-trip at the first halving and keeps its native size.
+    _CONTENT_TOL = 4
+
+    eff_cache: dict[int, int] = {}
+
+    def _effective_size(layer: int) -> int:
+        if layer not in eff_cache:
+            img = texture_images[layer]
+            nat = _pow2_at_least(max(img.shape[0], img.shape[1]))
+            ref = resize_rgba(img, nat).astype(np.int16)
+            se = nat
+            while se > 4:
+                back = resize_rgba(resize_rgba(img, se // 2), nat)
+                if np.abs(back.astype(np.int16) - ref).max() > _CONTENT_TOL:
+                    break
+                se //= 2
+            eff_cache[layer] = se
+        return eff_cache[layer]
+
+    entry_sizes: list[int] = []
+    entry_bases: list[int] = []
+    total_rows = 0
+    for slots in material_slot_layers:
+        native = 4
+        for slot in sampled_slots:
+            if uniform_rgba[slots[slot]] is None:
+                native = max(native, _effective_size(slots[slot]))
+        se = min(native, config.max_texture_size)
+        entry_bases.append(total_rows)
+        entry_sizes.append(se)
+        total_rows += se * se
+    assert total_rows < (1 << 24), (
+        "texture stacks exceed the f32-exact row-offset range; lower "
+        "EngineConfig.max_texture_size or dedupe textures"
+    )
+    for i, row in enumerate(material_rows):
+        e = stack_ids[row_slot_layers[i]]
+        row[pack_M.MAT_STACK_BASE] = entry_bases[e]
+        row[pack_M.MAT_STACK_SIZE] = entry_sizes[e]
+
     def stack_group(lo, hi):
         group = sampled_slots[lo:hi]
         if not group or not material_slot_layers:
@@ -303,9 +381,10 @@ def pack_scene(world, config: EngineConfig) -> SceneBuffers:
         return np.concatenate(
             [
                 np.concatenate(
-                    [quad_of(slots[slot]) for slot in group], axis=-1
+                    [quad_of(slots[slot], entry_sizes[e]) for slot in group],
+                    axis=-1,
                 )
-                for slots in material_slot_layers
+                for e, slots in enumerate(material_slot_layers)
             ],
             axis=0,
         )
