@@ -99,9 +99,21 @@ def _checker_texture(size: int = 64, cells: int = 8,
     return img.astype(np.uint8)
 
 
+def _mr_gradient_texture(size: int = 64):
+    """Metallic-roughness map with roughness (G) ramping 0->1 across u —
+    drives the full specular mip chain across one surface (stress case
+    for the half-res specular taps)."""
+    img = np.zeros((size, size, 4), np.uint8)
+    img[..., 1] = (np.arange(size) * 255 // (size - 1))[None, :]
+    img[..., 0] = 255  # occlusion
+    img[..., 3] = 255
+    return img
+
+
 def procedural_model(kind: str = "cube", *, base_color=(1.0, 1.0, 1.0, 1.0),
                      metallic: float = 0.0, roughness: float = 0.5,
-                     textured: bool = False, **kw) -> Model:
+                     textured: bool = False, mr_gradient: bool = False,
+                     **kw) -> Model:
     """One-mesh Model with a metallic-roughness material."""
     prim = {
         "cube": cube_primitive,
@@ -114,7 +126,10 @@ def procedural_model(kind: str = "cube", *, base_color=(1.0, 1.0, 1.0, 1.0),
     mat.ormn = np.array([1.0, roughness, metallic, 1.0], np.float32)
     textures = []
     if textured:
-        mat.base_color_texture = 0
+        mat.base_color_texture = len(textures)
         textures.append(_checker_texture())
+    if mr_gradient:
+        mat.surface_properties_texture = len(textures)
+        textures.append(_mr_gradient_texture())
     return Model(meshes=[Mesh(primitive=prim, material=mat)],
                  textures=textures)
