@@ -76,6 +76,14 @@ def build_app(config=None) -> App:
 
 def main():
     app = build_app()
+    if "--window" in sys.argv:
+        # live WASD + right-mouse-drag flight (README.md:15-24)
+        from mo_renderer_tpu.app.window import run_windowed
+
+        shown = run_windowed(app)
+        print(f"window closed after {shown} frames, "
+              f"fps={app.world.resource(Timer).fps():.1f}")
+        return
     frames = int(os.environ.get("MO_FRAMES", "1"))
     out = os.environ.get("MO_OUT", "/tmp/pbr_ibl.png")
     frame = app.run(num_frames=frames)
