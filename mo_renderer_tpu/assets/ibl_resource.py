@@ -47,6 +47,9 @@ class IBLMaps:
     specular_mips: MipCube
     brdf_lut: jnp.ndarray  # (B, B, 3)
     specular_quad: "object"  # MipCubeQuad (RGBE); env quad rows appended
+    # MipCubeQuadMerged: child+parent quad pairs -> trilinear in ONE
+    # 32-byte gather when both specular taps run on the half grid
+    specular_quad_merged: "object"
     irradiance_sh9: jnp.ndarray  # (9, 3)
 
     def tree_flatten(self):
@@ -67,7 +70,7 @@ def _derive_fast_maps(env, irr, spec, lut):
     chain's table so the shading pass serves sky pixels out of the same
     gather stream (ibl_ambient_sky_fast).
     """
-    from ..device.sampling import MipCubeQuad
+    from ..device.sampling import MipCubeQuad, MipCubeQuadMerged
     from ..kernels.ibl import sh9_project_cube
 
     # Specular mip 0 IS the environment (kernels/ibl.specular_prefilter:
@@ -75,8 +78,10 @@ def _derive_fast_maps(env, irr, spec, lut):
     # environment sample from the mip-0 region of the same table — no
     # appended copy (the duplicate rows cost ~25MB of table, and gather
     # cost grows with table size).
+    quad = MipCubeQuad(spec)
     return dict(
-        specular_quad=MipCubeQuad(spec),
+        specular_quad=quad,
+        specular_quad_merged=MipCubeQuadMerged(quad),
         irradiance_sh9=sh9_project_cube(irr),
     )
 

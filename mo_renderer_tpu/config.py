@@ -122,6 +122,12 @@ class EngineConfig:
     # sky/surface silhouette.  On-vs-off at 1080p: mean diff 0.11 LSB,
     # 0.04% of pixels >12/255, -5.5ms.
     spec_mirror_half_res: bool = True
+    # With both half-res flags on, fetch BOTH trilinear taps in ONE
+    # 32-byte-row gather from the child+parent pair table
+    # (sampling.MipCubeQuadMerged) — halves the trilinear index stream;
+    # the coarse tap lands 1/4 parent texel from true trilinear
+    # (band-limited mip; bounds pinned in tests/test_fast_budget.py).
+    spec_merged_trilinear: bool = True
     # SSAO tap loop as one Pallas tile kernel (VMEM halo window) instead
     # of ~200 materialized full-image shifts.
     ssao_pallas: bool = True

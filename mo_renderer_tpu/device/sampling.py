@@ -564,9 +564,65 @@ class MipCubeQuad:
         return cls(_rows=children[0], _sizes=sizes, _offsets=offsets)
 
 
-def mipcube_quad_index(sizes, offsets, level, face, u, v):
-    """Quad-row index + bilinear fractions at per-pixel integer mip
-    ``level`` (the gather-free half of _sample_mipcube_quad_level)."""
+@jax.tree_util.register_pytree_node_class
+class MipCubeQuadMerged:
+    """Child+parent RGBE quad pairs: trilinear LOD in ONE 32-byte gather.
+
+    ``rows[i]`` = [mip l's quad at texel i (4 u32), mip l+1's quad at
+    (y>>1, x>>1) (4 u32)], indexed exactly like MipCubeQuad (same
+    sizes/offsets).  The last mip pairs with itself.  The parent tap's
+    bilinear fractions derive from the child anchor's parity —
+    fp = ((anchor & 1) + f) / 2 — which places the coarse tap a constant
+    1/4 parent texel from true trilinear (the mip is band-limited by
+    construction; the deviation is pinned in tests/test_fast_budget.py).
+    Versus two 16-byte-row gathers this halves the trilinear index
+    stream (passes/shading.py ibl_ambient_sky_fast)."""
+
+    def __init__(self, quad: "MipCubeQuad" = None,
+                 _rows=None, _sizes=None, _offsets=None):
+        if quad is None:
+            self.rows = _rows
+            self.sizes = np.asarray(_sizes, np.int32)
+            self.offsets = np.asarray(_offsets, np.int32)
+            self.num_levels = len(self.sizes)
+            return
+        self.sizes = quad.sizes
+        self.offsets = quad.offsets
+        self.num_levels = quad.num_levels
+        parts = []
+        for lvl in range(self.num_levels):
+            s = int(self.sizes[lvl])
+            off = int(self.offsets[lvl])
+            child = quad.rows[off : off + 6 * s * s]
+            p = min(lvl + 1, self.num_levels - 1)
+            sp = int(self.sizes[p])
+            offp = int(self.offsets[p])
+            par = quad.rows[offp : offp + 6 * sp * sp].reshape(6, sp, sp, 4)
+            if sp != s:
+                r = s // sp
+                par = jnp.repeat(jnp.repeat(par, r, axis=1), r, axis=2)
+            parts.append(
+                jnp.concatenate([child, par.reshape(6 * s * s, 4)], axis=1)
+            )
+        self.rows = jnp.concatenate(parts, axis=0)
+
+    def tree_flatten(self):
+        return (self.rows,), (
+            tuple(self.sizes.tolist()),
+            tuple(self.offsets.tolist()),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        sizes, offsets = aux
+        return cls(_rows=children[0], _sizes=sizes, _offsets=offsets)
+
+
+def mipcube_quad_index_anchor(sizes, offsets, level, face, u, v):
+    """Quad-row index, bilinear fractions AND texel anchors at per-pixel
+    integer mip ``level`` (the gather-free half of
+    _sample_mipcube_quad_level; anchors feed the merged child+parent
+    layout's parity math)."""
     s = jnp.take(sizes, level)
     off = jnp.take(offsets, level)
     x = u * s - 0.5
@@ -577,7 +633,16 @@ def mipcube_quad_index(sizes, offsets, level, face, u, v):
     fy = jnp.where(y0 < 0, 0.0, y - y0)
     x0i = jnp.clip(x0.astype(jnp.int32), 0, s - 1)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, s - 1)
-    return off + face * s * s + y0i * s + x0i, fx, fy
+    return off + face * s * s + y0i * s + x0i, fx, fy, x0i, y0i
+
+
+def mipcube_quad_index(sizes, offsets, level, face, u, v):
+    """Quad-row index + bilinear fractions at per-pixel integer mip
+    ``level`` (the gather-free half of _sample_mipcube_quad_level)."""
+    idx, fx, fy, _x0, _y0 = mipcube_quad_index_anchor(
+        sizes, offsets, level, face, u, v
+    )
+    return idx, fx, fy
 
 
 def _sample_mipcube_quad_level(rows, sizes, offsets, level, face, u, v):

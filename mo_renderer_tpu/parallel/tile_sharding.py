@@ -156,6 +156,7 @@ def row_sharded_frame_body(
         static_light_count=static_light_count,
         parent_mip_half_res=cfg.spec_parent_mip_half_res,
         mirror_half_res=cfg.spec_mirror_half_res,
+        merged_trilinear=cfg.spec_merged_trilinear,
         row_offset=row0, full_height=pad_h,  # pad_h = viewport height
     )
     overflow = jnp.stack([binned.overflow, shadow_overflow])

@@ -247,6 +247,7 @@ def frame_program(
             static_light_count=static_light_count,
             parent_mip_half_res=cfg.spec_parent_mip_half_res,
             mirror_half_res=cfg.spec_mirror_half_res,
+            merged_trilinear=cfg.spec_merged_trilinear,
         )
     else:
         color = shading_pass(

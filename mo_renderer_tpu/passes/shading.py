@@ -465,7 +465,7 @@ def skybox_color_fast(height, width, camera_basis, ibl):
 
 def ibl_ambient_sky_fast(gbuf, eye_pos, ibl, camera_basis,
                          parent_mip_half_res=False, half_geo=None,
-                         mirror_half_res=False,
+                         mirror_half_res=False, merged_trilinear=False,
                          row_offset=0, full_height=None):
     """Ambient AND sky from the same two trilinear gathers.
 
@@ -479,6 +479,11 @@ def ibl_ambient_sky_fast(gbuf, eye_pos, ibl, camera_basis,
     l0+1) on the even-pixel grid and upsample — that mip is band-limited
     by construction, so the upsample is nearly lossless and the second
     gather stream shrinks 4x.
+
+    merged_trilinear (needs both half-res flags): fetch BOTH trilinear
+    taps in ONE 32-byte-row gather from the child+parent pair table
+    (sampling.MipCubeQuadMerged) — halves the remaining trilinear index
+    stream for a 1/4-parent-texel shift of the coarse tap.
 
     Returns (ambient (H,W,3), sky (H,W,3), sky_mask (H,W) bool).
     """
@@ -498,6 +503,12 @@ def ibl_ambient_sky_fast(gbuf, eye_pos, ibl, camera_basis,
     if mirror_half_res and half_geo is None:
         half_geo = half_res_geometry(gbuf)
 
+    merged = (
+        merged_trilinear and mirror_half_res and parent_mip_half_res
+        and getattr(ibl, "specular_quad_merged", None) is not None
+    )
+    c1 = None
+
     if mirror_half_res:
         # mirror tap + sky on the even-pixel grid, upsampled: the env
         # cubemap is 512^2/face (already soft at 1080p).  Costs a ~1px
@@ -509,7 +520,7 @@ def ibl_ambient_sky_fast(gbuf, eye_pos, ibl, camera_basis,
         )
         l0h = jnp.floor(lodh).astype(jnp.int32)
         fh, uh, vh = sampling.cube_face_uv(rh)
-        idx0, fx0, fy0 = sampling.mipcube_quad_index(
+        idx0, fx0, fy0, x0i, y0i = sampling.mipcube_quad_index_anchor(
             sizes, offsets, l0h, fh, uh, vh
         )
         sky_h = depth_h >= 1.0
@@ -519,9 +530,25 @@ def ibl_ambient_sky_fast(gbuf, eye_pos, ibl, camera_basis,
         idx0 = jnp.where(sky_h, eidx, idx0)
         fx0 = jnp.where(sky_h, efx, fx0)
         fy0 = jnp.where(sky_h, efy, fy0)
-        c0h = sampling.quad_lerp_rgbe(
-            sampling.take_rows(mq.rows, idx0), fx0, fy0
-        )
+        if merged:
+            # ONE 32-byte-row gather: child quad + parent quad; the
+            # parent's fractions derive from the child anchor parity
+            # (sky pixels' parent lanes are garbage — masked via f)
+            rows8 = sampling.take_rows(ibl.specular_quad_merged.rows, idx0)
+            c0h = sampling.quad_lerp_rgbe(rows8[..., :4], fx0, fy0)
+            last = l0h >= mq.num_levels - 1
+            fpx = jnp.where(
+                last, fx0, ((x0i & 1).astype(fx0.dtype) + fx0) * 0.5
+            )
+            fpy = jnp.where(
+                last, fy0, ((y0i & 1).astype(fy0.dtype) + fy0) * 0.5
+            )
+            c1h = sampling.quad_lerp_rgbe(rows8[..., 4:], fpx, fpy)
+            c1 = _upsample2x(c1h, h, w)
+        else:
+            c0h = sampling.quad_lerp_rgbe(
+                sampling.take_rows(mq.rows, idx0), fx0, fy0
+            )
         c0 = _upsample2x_mask_aware(c0h, sky_h, sky_mask, h, w)
     else:
         # specular trilinear indices (sample_mipcube_quad_lod, split
@@ -541,7 +568,7 @@ def ibl_ambient_sky_fast(gbuf, eye_pos, ibl, camera_basis,
             sampling.take_rows(mq.rows, idx0), fx0, fy0
         )
 
-    if parent_mip_half_res:
+    if parent_mip_half_res and c1 is None:
         if half_geo is None:
             half_geo = half_res_geometry(gbuf)
         pos_h, n_h, rough_h = half_geo[:3]
@@ -558,7 +585,7 @@ def ibl_ambient_sky_fast(gbuf, eye_pos, ibl, camera_basis,
         )
         c1h = sampling.quad_lerp_rgbe(sampling.take_rows(mq.rows, idx1), fx1, fy1)
         c1 = _upsample2x(c1h, h, w)
-    else:
+    elif c1 is None:
         r1 = brdf.ibl_reflection_dir(gbuf.position, gbuf.normal, eye_pos)
         face1, u1, v1 = sampling.cube_face_uv(r1)  # CSE'd with c0's
         l1 = jnp.minimum(l0 + 1, mq.num_levels - 1)
@@ -586,7 +613,7 @@ def shading_pass_fast(
     gbuf, ssao, shadow_quad_rows, shadow_size, lights, num_lights,
     params, ibl=None, shadow_res_divisor=1, static_light_count=None,
     parent_mip_half_res=False, mirror_half_res=False,
-    row_offset=0, full_height=None,
+    merged_trilinear=False, row_offset=0, full_height=None,
 ):
     """shading_pass with the gather-minimal samplers (same semantics)."""
     eye = params["eye_pos"]
@@ -604,6 +631,7 @@ def shading_pass_fast(
             gbuf, eye, ibl, params,
             parent_mip_half_res=parent_mip_half_res, half_geo=half_geo,
             mirror_half_res=mirror_half_res,
+            merged_trilinear=merged_trilinear,
             row_offset=row_offset, full_height=full_height,
         )
     else:

@@ -71,12 +71,13 @@ def budget_setup():
     params = build_camera_params(graft._camera(cfg), light_pv)
     ibl = r.ibl.maps()
 
-    def render(divisor, parent_half, mirror_half):
+    def render(divisor, parent_half, mirror_half, merged=False):
         c = dataclasses.replace(
             cfg,
             pcf_res_divisor=divisor,
             spec_parent_mip_half_res=parent_half,
             spec_mirror_half_res=mirror_half,
+            spec_merged_trilinear=merged,
         )
         return unpack_rgba8(np.asarray(
             jax.jit(functools.partial(
@@ -91,13 +92,16 @@ def budget_setup():
     return render, oracle
 
 
-# (divisor, parent_half, mirror_half) -> (mean |diff| LSB, frac > 12 LSB)
+# (divisor, parent_half, mirror_half[, merged]) -> (mean LSB, frac > 12)
 BOUNDS = {
     (2, False, False): (0.35, 0.004),
     (4, False, False): (0.60, 0.010),
     (1, True, False): (0.25, 0.004),
     (1, False, True): (0.35, 0.006),
-    (4, True, True): (1.00, 0.015),  # the production default stack
+    (4, True, True): (1.00, 0.015),
+    # single-gather merged trilinear on top: the production default stack
+    # (the coarse tap's 1/4-parent-texel shift adds <= ~1 LSB)
+    (4, True, True, True): (1.10, 0.015),
 }
 
 
