@@ -50,6 +50,52 @@ def _render_entry():
     return unpack_rgba8(np.asarray(jax.jit(fn)(*args)))
 
 
+def _render_tiny(**overrides):
+    """The entry scene through the full Renderer with config overrides
+    (covers code paths the plain entry golden cannot: pass toggles and
+    the megakernel rasterizer)."""
+    import dataclasses
+
+    import __graft_entry__ as g
+    from mo_renderer_tpu.passes.frame_graph import Renderer
+
+    cfg = dataclasses.replace(g._tiny_config(), **overrides)
+    world = g._tiny_world()
+    world.insert_resource(g._camera(cfg))
+    r = Renderer(cfg)
+    r.prepare(world)
+    return r.render(world)
+
+
+def _render_row_sharded():
+    """The entry scene through the row-sharded multi-chip path on the
+    host CPU mesh (conftest forces 8 virtual devices)."""
+    import jax
+
+    import __graft_entry__ as g
+    from mo_renderer_tpu.parallel.tile_sharding import TileShardedRenderer
+
+    cfg = g._tiny_config()
+    world = g._tiny_world()
+    world.insert_resource(g._camera(cfg))
+    n = min(4, len(jax.devices()))
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:n]), ("rows",))
+    r = TileShardedRenderer(cfg, mesh)
+    r.prepare(world)
+    return r.render(world)
+
+
+def _render_sponza_tiny():
+    """Sponza-class stress scene (many entities/materials, 4 point + 1
+    directional light) at golden resolution."""
+    import examples.sponza_scale as sp
+    from tests.test_end_to_end import tiny_config, tiny_ibl
+
+    app = sp.build_app(tiny_config(), n_grid=6)
+    app.insert_resource(tiny_ibl())
+    return app.run(num_frames=1)
+
+
 def _check(frame, golden_name):
     golden = _load(golden_name)
     frame = np.asarray(frame).astype(np.int32)
@@ -70,6 +116,35 @@ def test_golden_entry_procedural():
     _check(_render_entry(), "entry_procedural_256x128.png")
 
 
+def test_golden_passes_off():
+    """SSAO and shadow disabled exercise their own trace branches."""
+    _check(
+        _render_tiny(ssao_enabled=False, shadow_enabled=False),
+        "entry_passes_off_256x128.png",
+    )
+
+
+def test_golden_megakernel():
+    """The in-kernel attribute-interpolation rasterizer variant must
+    produce the same image as the planes path (kept behind
+    raster_interp_attrs; tested against its own golden so a drift in
+    EITHER path is caught absolutely, not just relatively)."""
+    _check(
+        _render_tiny(raster_interp_attrs=True),
+        "entry_procedural_256x128.png",
+    )
+
+
+def test_golden_row_sharded():
+    """The row-sharded frame must reproduce the single-device golden."""
+    _check(_render_row_sharded(), "entry_procedural_256x128.png")
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_RES), reason="no reference assets")
+def test_golden_sponza():
+    _check(_render_sponza_tiny(), "sponza_tiny_256x128.png")
+
+
 if __name__ == "__main__" and "--regen" in sys.argv:
     # goldens are CPU-rendered (same platform the pytest run compares on);
     # conftest.py only applies under pytest, so force CPU here too
@@ -87,5 +162,13 @@ if __name__ == "__main__" and "--regen" in sys.argv:
     write_png(
         os.path.join(GOLDEN_DIR, "entry_procedural_256x128.png"),
         _render_entry(),
+    )
+    write_png(
+        os.path.join(GOLDEN_DIR, "entry_passes_off_256x128.png"),
+        _render_tiny(ssao_enabled=False, shadow_enabled=False),
+    )
+    write_png(
+        os.path.join(GOLDEN_DIR, "sponza_tiny_256x128.png"),
+        _render_sponza_tiny(),
     )
     print("goldens regenerated")
