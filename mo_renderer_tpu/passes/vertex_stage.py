@@ -44,8 +44,20 @@ def _normalize(v, eps=1e-20):
 
 def run_vertex_stage(scene, proj_view, prev_proj_view, light_proj_view):
     """scene: SceneBuffers; matrices (4,4) m[row,col]."""
-    world = jnp.take(scene.mesh_world, scene.vertex_mesh, axis=0)  # (V,4,4)
-    nmat = jnp.take(scene.mesh_normal_mat, scene.vertex_mesh, axis=0)  # (V,3,3)
+    # gather the per-mesh matrices as FLAT rows: (4,4)-slice gathers can
+    # hit XLA's serial windowed-gather emitter (catastrophic at scale —
+    # a measured 4.4s for 2M 2D slices, NOTES_PERF.md); 16-wide row
+    # gathers always take the fast row path.  At 7K verts both happen to
+    # measure the same today, so this is insurance, not a speedup.
+    from ..device.sampling import take_rows
+
+    m = scene.mesh_world.shape[0]
+    world = take_rows(
+        scene.mesh_world.reshape(m, 16), scene.vertex_mesh
+    ).reshape(-1, 4, 4)
+    nmat = take_rows(
+        scene.mesh_normal_mat.reshape(m, 9), scene.vertex_mesh
+    ).reshape(-1, 3, 3)
 
     pos1 = jnp.concatenate(
         [scene.position, jnp.ones_like(scene.position[:, :1])], axis=-1
