@@ -246,21 +246,40 @@ def _texture_and_assemble(
     """Shared fast-path tail: material fetch, texture-stack sampling,
     factor application, TBN normal mapping, G-buffer assembly."""
     # material row via one-hot MXU matmul: the table is tiny (<=256 rows)
-    # and a matmul beats the gather emitter by ~25ms at 1080p
+    # and a matmul beats the gather emitter by ~25ms at 1080p.  Only the
+    # columns this path actually reads are multiplied (slot_map is
+    # static): halves the matmul output + its layout copy
+    # (scripts/bench_interp_variants.py: 48 cols 9.2ms vs 24 cols 4.4ms).
+    used_cols = [M.MAT_STACK_BASE, M.MAT_STACK_SIZE]
+    used_cols += list(range(M.MAT_BASE_COLOR_FACTOR, M.MAT_BASE_COLOR_FACTOR + 4))
+    used_cols += list(range(M.MAT_EMISSIVE_FACTOR, M.MAT_EMISSIVE_FACTOR + 3))
+    used_cols += [M.MAT_METALLIC_FACTOR, M.MAT_ROUGHNESS_FACTOR]
+    for k, p in enumerate(slot_map):
+        if p < 0:  # constant slot: per-material color lives in the table
+            used_cols += list(range(M.MAT_CONST_BASE + 4 * k,
+                                    M.MAT_CONST_BASE + 4 * k + 4))
+    col_pos = {c: i for i, c in enumerate(used_cols)}
     n_mats = scene.materials.shape[0]
     onehot = jax.nn.one_hot(mat_id, n_mats, dtype=jnp.float32)
     mat = jnp.einsum(
-        "hwm,mc->hwc", onehot, scene.materials,
+        "hwm,mc->hwc", onehot, scene.materials[:, jnp.asarray(used_cols)],
         precision=jax.lax.Precision.HIGHEST,
     )
+
+    def col(c):
+        return mat[..., col_pos[c]]
+
+    def cols(c, n):  # contiguous in used_cols (added as ranges above)
+        p = col_pos[c]
+        return mat[..., p : p + n]
 
     # texture-stack gathers over the sampled slots only; each material's
     # stack entry has its own native size (MAT_STACK_BASE/SIZE), so the
     # bilinear index math runs with per-pixel sizes (REPEAT wrap)
     n_sampled = sum(1 for p in slot_map if p >= 0)
     if n_sampled > 0:
-        base = mat[..., M.MAT_STACK_BASE].astype(jnp.int32)
-        se_f = mat[..., M.MAT_STACK_SIZE]
+        base = col(M.MAT_STACK_BASE).astype(jnp.int32)
+        se_f = col(M.MAT_STACK_SIZE)
         se_i = se_f.astype(jnp.int32)
         x = uv0[..., 0] * se_f - 0.5
         y = uv0[..., 1] * se_f - 0.5
@@ -287,8 +306,7 @@ def _texture_and_assemble(
     def slot(k):
         p = slot_map[k]
         if p < 0:  # constant layer: per-material value from the table
-            base = M.MAT_CONST_BASE + 4 * k
-            return mat[..., base : base + 4]
+            return cols(M.MAT_CONST_BASE + 4 * k, 4)
         quad = stack_row[..., 4 * p : 4 * p + 4]  # [t00,t10,t01,t11] u32
         chans = []
         for shift in (0, 8, 16, 24):
@@ -301,15 +319,12 @@ def _texture_and_assemble(
 
     base_rgba, normal_map, mr, occ, emis = (slot(k) for k in range(5))
 
-    base_factor = mat[..., M.MAT_BASE_COLOR_FACTOR : M.MAT_BASE_COLOR_FACTOR + 4]
+    base_factor = cols(M.MAT_BASE_COLOR_FACTOR, 4)
     base_color = srgb_to_linear(base_rgba[..., :3] * base_factor[..., :3])
-    metallic = mr[..., 2] * mat[..., M.MAT_METALLIC_FACTOR]
-    roughness = mr[..., 1] * mat[..., M.MAT_ROUGHNESS_FACTOR]
+    metallic = mr[..., 2] * col(M.MAT_METALLIC_FACTOR)
+    roughness = mr[..., 1] * col(M.MAT_ROUGHNESS_FACTOR)
     occlusion = occ[..., 0]
-    emissive = (
-        emis[..., :3]
-        * mat[..., M.MAT_EMISSIVE_FACTOR : M.MAT_EMISSIVE_FACTOR + 3]
-    )
+    emissive = emis[..., :3] * cols(M.MAT_EMISSIVE_FACTOR, 3)
 
     n_geo = _normalize(n_in)
     n_tex = _normalize(normal_map[..., :3] * 2.0 - 1.0)
