@@ -131,6 +131,19 @@ class EngineConfig:
     # SSAO tap loop as one Pallas tile kernel (VMEM halo window) instead
     # of ~200 materialized full-image shifts.
     ssao_pallas: bool = True
+    # Checkerboard shading: the G-buffer attribute/texture pass and the
+    # deferred shading run on HALF the pixels (columns 2j + (y&1)); the
+    # other half is reconstructed from its 4 checkerboard neighbors,
+    # triangle-id-guided so surfaces never blend across silhouettes
+    # (passes/checkerboard.py).  Visibility (raster), shadow, and SSAO
+    # stay full-resolution.  Halves the dominant per-pixel gather
+    # streams (texture stack + attrs rows — the measured frame floor,
+    # NOTES_PERF.md).  Error budget pinned in tests/test_fast_budget.py.
+    # Requires fast_sampling + spec_mirror_half_res; ignored by the
+    # reference path, the megakernel, and row-sharded rendering.
+    # On-vs-off at 1080p (man.glb): mean diff 0.134 LSB, 0.06% of pixels
+    # >12/255 (detail edges only), -14.3ms device frame (36.8 -> 22.5).
+    checkerboard: bool = True
 
     # Asset root containing gltf/, tex/, shaders/ subdirs.
     resource_root: str = dataclasses.field(default_factory=_default_resource_root)

@@ -19,7 +19,9 @@ import numpy as np
 
 from ..config import EngineConfig
 from ..device.sampling import build_pcf_window_u16, build_window_rows_2x4
+from ..kernels.decimate import decimate_cols
 from ..kernels.raster_setup import bin_triangles, triangle_setup
+from .checkerboard import reconstruct_full
 from ..kernels.rasterizer import rasterize, rasterize_attrs
 from ..scene.camera import Camera
 from ..scene.scene_buffers import (
@@ -180,6 +182,10 @@ def frame_program(
             "scene.stack_slots — see Renderer.prepare)"
         )
     use_megakernel = fast and cfg.raster_interp_attrs
+    # checkerboard shading: keep the FULL-res visibility buffer (it
+    # guides reconstruction) but run the attribute/texture pass and
+    # everything downstream on half the pixels (passes/checkerboard.py)
+    use_cb = fast and cfg.checkerboard and not use_megakernel
     if use_megakernel:
         # append the channel-major attr columns so the raster kernel
         # interpolates attributes in VMEM (rows are DMA'd at 128 floats
@@ -211,6 +217,12 @@ def frame_program(
             binned, width=pad_w, height=pad_h,
             tile_h=cfg.tile_h, tile_w=cfg.tile_w,
         )
+        if use_cb:
+            tri_full, z_full = tri, z
+            tri = decimate_cols(tri, "cb")
+            z = decimate_cols(z, "cb")
+            b0 = decimate_cols(b0, "cb")
+            b1 = decimate_cols(b1, "cb")
         if fast:
             gbuf = gbuffer_pass_fast(
                 tri, z, b0, b1, scene, scene.tri_attrs, params,
@@ -220,18 +232,23 @@ def frame_program(
             gbuf = gbuffer_pass(tri, z, b0, b1, scene, vs)
 
     # --- SSAO --------------------------------------------------------------
+    # screen-space neighborhoods need the FULL-res depth even under
+    # checkerboard shading; the result is then checkerboard-sampled
+    ssao_depth = z_full if use_cb else gbuf.depth
     if use_ssao:
         if cfg.ssao_pallas:
             ssao = ssao_pass_pallas(
-                gbuf.depth, tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+                ssao_depth, tile_h=cfg.tile_h, tile_w=cfg.tile_w,
                 near=cfg.ssao_near, far=cfg.ssao_far,
             )
         else:
             ssao = ssao_pass(
-                gbuf.depth, near=cfg.ssao_near, far=cfg.ssao_far
+                ssao_depth, near=cfg.ssao_near, far=cfg.ssao_far
             )
     else:
-        ssao = jnp.ones_like(gbuf.depth)
+        ssao = jnp.ones_like(ssao_depth)
+    if use_cb:
+        ssao = decimate_cols(ssao, "cb")
 
     # --- shading + skybox + tonemap ---------------------------------------
     if fast:
@@ -248,6 +265,7 @@ def frame_program(
             parent_mip_half_res=cfg.spec_parent_mip_half_res,
             mirror_half_res=cfg.spec_mirror_half_res,
             merged_trilinear=cfg.spec_merged_trilinear,
+            cb=use_cb,
         )
     else:
         color = shading_pass(
@@ -259,7 +277,9 @@ def frame_program(
     for p in extra_passes:
         ctx = p.render(ctx)
 
-    rgba = present_pass(ctx["color"])  # (H, W) packed uint32
+    rgba = present_pass(ctx["color"])  # (H, W[/2]) packed uint32
+    if use_cb:
+        rgba = reconstruct_full(rgba, tri_full)  # (H, W)
     # crop padding back to the configured size
     rgba = rgba[: cfg.height, : cfg.width]
     if with_overflow:

@@ -285,8 +285,8 @@ def calculate_shadow_fast(world_pos, light_proj_view, shadow_quad_rows, s):
     return jnp.where(beyond_far, 1.0, result)
 
 
-def _even_grid(a):
-    """a[::2, ::2] via a window-1 stride-2 reduce_window.
+def _even_grid(a, strides=(2, 2)):
+    """a[::sy, ::sx] via a window-1 strided reduce_window.
 
     XLA lowers a strided SLICE to a per-index gather (~4.4ms for an
     (1088, 1920, 8) f32 at 1080p) but lowers the equivalent
@@ -296,10 +296,10 @@ def _even_grid(a):
     copies), one-hot decimation matmuls (similar speed to reduce_window
     but rounds through the MXU's reduced precision)."""
     win = (1,) * a.ndim
-    strides = (2, 2) + (1,) * (a.ndim - 2)
+    st = tuple(strides) + (1,) * (a.ndim - 2)
     return jax.lax.reduce_window(
         a, jnp.zeros((), a.dtype), jax.lax.add,
-        window_dimensions=win, window_strides=strides, padding="VALID",
+        window_dimensions=win, window_strides=st, padding="VALID",
     )
 
 
@@ -309,41 +309,101 @@ def _upsample2x(a, h, w):
     return _upsample_pow2(a, h, w, 2)
 
 
-def _upsample_pow2(a, h, w, f):
-    """Bilinear f-x upsample aligned with ``x[::f, ::f]`` sampling:
-    output (f*i, f*j) are exact samples; in-between positions linearly
+def _upsample_pow2(a, h, w, f, fx=None):
+    """Bilinear upsample aligned with ``x[::f, ::fx]`` sampling: output
+    (f*i, fx*j) are exact samples; in-between positions linearly
     interpolate the two neighbors per axis.  Pure slicing/arithmetic —
-    no gathers.  Accepts (Hs, Ws) or (Hs, Ws, C)."""
+    no gathers.  Accepts (Hs, Ws) or (Hs, Ws, C).  fx defaults to f."""
+    fx = f if fx is None else fx
 
-    def up_axis(v, axis):
+    def up_axis(v, axis, fk):
+        if fk == 1:
+            return v
         idx = [slice(None)] * v.ndim
         idx[axis] = slice(1, None)
         last = [slice(None)] * v.ndim
         last[axis] = slice(-1, None)
         v_dn = jnp.concatenate([v[tuple(idx)], v[tuple(last)]], axis=axis)
         phases = [
-            v * (1.0 - k / f) + v_dn * (k / f) for k in range(f)
+            v * (1.0 - k / fk) + v_dn * (k / fk) for k in range(fk)
         ]
         st = jnp.stack(phases, axis=axis + 1)
         shape = list(v.shape)
-        shape[axis] *= f
+        shape[axis] *= fk
         return st.reshape(shape)
 
-    return up_axis(up_axis(a, 0), 1)[:h, :w]
+    return up_axis(up_axis(a, 0, f), 1, fx)[:h, :w]
 
 
-def half_res_geometry(gbuf):
+# --- checkerboard-domain upsamples ------------------------------------------
+#
+# The checkerboard shading domain (cfg.checkerboard) holds full pixels
+# (y, 2j + (y&1)) in an (H, W/2) plane.  Half-res sample grids are laid on
+# the FULL frame at (fy*i, 2*fxc*j) — even rows, even columns — so even cb
+# rows coincide with sample columns and odd cb rows sit exactly halfway
+# between two: upsampling to the cb domain = the standard per-axis
+# upsample to the even-column grid, then a half-texel horizontal lerp on
+# odd rows (the composition is exact bilinear — both steps are linear).
+
+def _cb_row_odd(h, wc, extra_dims=0):
+    odd = (jnp.arange(h) & 1).astype(bool)[:, None]
+    return odd.reshape((h, 1) + (1,) * extra_dims)
+
+
+def _upsample_to_cb(a, h, wc, fy, fxc):
+    """Samples at full (fy*i, 2*fxc*j) -> cb-domain (h, wc) values."""
+    g = _upsample_pow2(a, h, wc, fy, fxc)  # values at full (y, 2j)
+    gr = jnp.concatenate([g[:, 1:], g[:, -1:]], axis=1)
+    odd = _cb_row_odd(h, wc, a.ndim - 2)
+    return jnp.where(odd, 0.5 * (g + gr), g)
+
+
+def _upsample_to_cb_mask_aware(vals_h, mask_h, mask_cb, h, wc):
+    """_upsample_to_cb for the (fy=2, fxc=1) grid, except where the four
+    contributing samples straddle a mask boundary: there the nearest
+    sample whose mask matches the cb pixel's mask is used instead.  Even
+    cb rows are exact sample points (no blending, no fallback needed —
+    phase (0, 0) is the identity there)."""
+    up = _upsample_to_cb(vals_h, h, wc, 2, 1)
+
+    def nn(a, dy, dx):
+        # cb pixel (y, j) reads sample a[y//2 + dy, j + dx]
+        if dy:
+            a = jnp.concatenate([a[dy:], a[-1:]], axis=0)
+        if dx:
+            a = jnp.concatenate([a[:, dx:], a[:, -1:]], axis=1)
+        return jnp.repeat(a, 2, axis=0)[:h, :wc]
+
+    mask_f = mask_h.astype(jnp.float32)
+    phases = [(0, 0), (0, 1), (1, 0), (1, 1)]
+    ms = [nn(mask_f, dy, dx) > 0.5 for dy, dx in phases]
+    uniform = (ms[0] == ms[1]) & (ms[0] == ms[2]) & (ms[0] == ms[3])
+
+    res = up
+    done = jnp.zeros_like(mask_cb)
+    for (dy, dx), m in zip(phases, ms):
+        use = (~uniform) & (~done) & (m == mask_cb)
+        res = jnp.where(use[..., None], nn(vals_h, dy, dx), res)
+        done = done | use
+    return res
+
+
+def half_res_geometry(gbuf, cb=False):
     """Even-grid (position, normal, roughness) in ONE strided slice.
 
     The stride-2 slice lowers to an index gather whose cost is per-INDEX
     (not per-byte), so slicing a concatenated (H, W, 7) array once costs
     the same as one 3-channel slice — a third of slicing the three
-    planes separately (measured: ~3.6ms vs ~10.8ms at 1080p)."""
+    planes separately (measured: ~3.6ms vs ~10.8ms at 1080p).
+
+    cb=True: gbuf lives on the checkerboard domain (H, W/2); its even
+    ROWS hold exactly the full frame's (2i, 2j) pixels, so the same
+    even grid is a (2, 1) stride there."""
     src = jnp.concatenate(
         [gbuf.position, gbuf.normal, gbuf.orm[..., 1:2],
          gbuf.depth[..., None]], axis=-1
     )
-    half = _even_grid(src)
+    half = _even_grid(src, strides=(2, 1) if cb else (2, 2))
     return half[..., 0:3], half[..., 3:6], half[..., 6], half[..., 7]
 
 
@@ -378,20 +438,26 @@ def _upsample2x_mask_aware(vals_h, mask_h, mask_full, h, w):
 
 
 def calculate_shadow_fast_half(pos_half, full_hw, light_proj_view,
-                               shadow_quad_rows, s, divisor=2):
+                               shadow_quad_rows, s, divisor=2, cb=False):
     """PCF factor evaluated on a strided pixel grid and bilinearly
     upsampled: divisor^2-fold fewer gather indices.  The factor field is
     smooth except across penumbra edges (which PCF itself already blurs
     over ~2 shadow texels), so the upsample costs a slightly wider
     penumbra; positions are point-sampled (no silhouette mixing at
     sample points).  pos_half is the SHARED even-grid position plane;
-    divisor=4 subsamples it once more."""
+    divisor=4 subsamples it once more.
+
+    cb=True: full_hw is the checkerboard domain (H, W/2); pos_half holds
+    the same full-frame even grid either way, so only the upsample's
+    target geometry changes."""
     h, w = full_hw
     if divisor == 4:
         pos_half = _even_grid(pos_half)
     factor = calculate_shadow_fast(
         pos_half, light_proj_view, shadow_quad_rows, s
     )
+    if cb:
+        return _upsample_to_cb(factor, h, w, divisor, divisor // 2)
     return _upsample_pow2(factor, h, w, divisor)
 
 
@@ -466,7 +532,7 @@ def skybox_color_fast(height, width, camera_basis, ibl):
 def ibl_ambient_sky_fast(gbuf, eye_pos, ibl, camera_basis,
                          parent_mip_half_res=False, half_geo=None,
                          mirror_half_res=False, merged_trilinear=False,
-                         row_offset=0, full_height=None):
+                         row_offset=0, full_height=None, cb=False):
     """Ambient AND sky from the same two trilinear gathers.
 
     Sky pixels (depth==1) need an environment sample but no specular;
@@ -499,9 +565,17 @@ def ibl_ambient_sky_fast(gbuf, eye_pos, ibl, camera_basis,
     f = (lod - l0.astype(lod.dtype))[..., None]
     sky_mask = gbuf.depth >= 1.0
     h, w = gbuf.depth.shape
+    # on the checkerboard domain, w is the half width; sky-ray x
+    # coordinates must be computed against the FULL frame width
+    sky_w = 2 * w if cb else w
+    if cb and not mirror_half_res:
+        raise NotImplementedError(
+            "checkerboard shading requires spec_mirror_half_res (full-res "
+            "sky rays are not evaluated on the cb domain)"
+        )
 
     if mirror_half_res and half_geo is None:
-        half_geo = half_res_geometry(gbuf)
+        half_geo = half_res_geometry(gbuf, cb=cb)
 
     merged = (
         merged_trilinear and mirror_half_res and parent_mip_half_res
@@ -524,7 +598,7 @@ def ibl_ambient_sky_fast(gbuf, eye_pos, ibl, camera_basis,
             sizes, offsets, l0h, fh, uh, vh
         )
         sky_h = depth_h >= 1.0
-        dh = _sky_dirs(h, w, camera_basis, stride=2,
+        dh = _sky_dirs(h, sky_w, camera_basis, stride=2,
                        row_offset=row_offset, full_height=full_height)
         eidx, efx, efy = _env_quad_index(ibl, dh)
         idx0 = jnp.where(sky_h, eidx, idx0)
@@ -544,12 +618,16 @@ def ibl_ambient_sky_fast(gbuf, eye_pos, ibl, camera_basis,
                 last, fy0, ((y0i & 1).astype(fy0.dtype) + fy0) * 0.5
             )
             c1h = sampling.quad_lerp_rgbe(rows8[..., 4:], fpx, fpy)
-            c1 = _upsample2x(c1h, h, w)
+            c1 = (_upsample_to_cb(c1h, h, w, 2, 1) if cb
+                  else _upsample2x(c1h, h, w))
         else:
             c0h = sampling.quad_lerp_rgbe(
                 sampling.take_rows(mq.rows, idx0), fx0, fy0
             )
-        c0 = _upsample2x_mask_aware(c0h, sky_h, sky_mask, h, w)
+        if cb:
+            c0 = _upsample_to_cb_mask_aware(c0h, sky_h, sky_mask, h, w)
+        else:
+            c0 = _upsample2x_mask_aware(c0h, sky_h, sky_mask, h, w)
     else:
         # specular trilinear indices (sample_mipcube_quad_lod, split
         # open); sky pixels re-point gather 0 at the environment rows
@@ -570,7 +648,7 @@ def ibl_ambient_sky_fast(gbuf, eye_pos, ibl, camera_basis,
 
     if parent_mip_half_res and c1 is None:
         if half_geo is None:
-            half_geo = half_res_geometry(gbuf)
+            half_geo = half_res_geometry(gbuf, cb=cb)
         pos_h, n_h, rough_h = half_geo[:3]
         r2 = brdf.ibl_reflection_dir(pos_h, n_h, eye_pos)
         lod2 = jnp.clip(
@@ -584,7 +662,8 @@ def ibl_ambient_sky_fast(gbuf, eye_pos, ibl, camera_basis,
             sizes, offsets, l1h, f2, u2, v2
         )
         c1h = sampling.quad_lerp_rgbe(sampling.take_rows(mq.rows, idx1), fx1, fy1)
-        c1 = _upsample2x(c1h, h, w)
+        c1 = (_upsample_to_cb(c1h, h, w, 2, 1) if cb
+              else _upsample2x(c1h, h, w))
     elif c1 is None:
         r1 = brdf.ibl_reflection_dir(gbuf.position, gbuf.normal, eye_pos)
         face1, u1, v1 = sampling.cube_face_uv(r1)  # CSE'd with c0's
@@ -613,9 +692,18 @@ def shading_pass_fast(
     gbuf, ssao, shadow_quad_rows, shadow_size, lights, num_lights,
     params, ibl=None, shadow_res_divisor=1, static_light_count=None,
     parent_mip_half_res=False, mirror_half_res=False,
-    merged_trilinear=False, row_offset=0, full_height=None,
+    merged_trilinear=False, row_offset=0, full_height=None, cb=False,
 ):
-    """shading_pass with the gather-minimal samplers (same semantics)."""
+    """shading_pass with the gather-minimal samplers (same semantics).
+
+    cb=True: gbuf (and ssao) live on the checkerboard domain — an
+    (H, W/2) plane holding full pixels (y, 2j + (y&1)).  All half-res
+    sample grids stay anchored to the FULL frame's even grid (the cb
+    domain's even rows), so tap densities match the non-cb frame; only
+    the upsample target geometry changes.  Requires mirror_half_res
+    when ibl is given; incompatible with row sharding."""
+    if cb and (row_offset or full_height is not None):
+        raise NotImplementedError("checkerboard + row sharding")
     eye = params["eye_pos"]
     lo = shade_lights(gbuf, lights, num_lights, eye,
                       static_count=static_light_count)
@@ -624,7 +712,7 @@ def shading_pass_fast(
     need_half = (
         shadow_res_divisor > 1 and shadow_quad_rows is not None
     ) or (ibl is not None and (parent_mip_half_res or mirror_half_res))
-    half_geo = half_res_geometry(gbuf) if need_half else None
+    half_geo = half_res_geometry(gbuf, cb=cb) if need_half else None
 
     if ibl is not None:
         ambient, sky, sky_mask = ibl_ambient_sky_fast(
@@ -632,7 +720,7 @@ def shading_pass_fast(
             parent_mip_half_res=parent_mip_half_res, half_geo=half_geo,
             mirror_half_res=mirror_half_res,
             merged_trilinear=merged_trilinear,
-            row_offset=row_offset, full_height=full_height,
+            row_offset=row_offset, full_height=full_height, cb=cb,
         )
     else:
         ambient = jnp.zeros_like(lo)
@@ -642,7 +730,7 @@ def shading_pass_fast(
             shadow = calculate_shadow_fast_half(
                 half_geo[0], gbuf.depth.shape, params["light_proj_view"],
                 shadow_quad_rows, shadow_size,
-                divisor=shadow_res_divisor,
+                divisor=shadow_res_divisor, cb=cb,
             )
         else:
             shadow = calculate_shadow_fast(

@@ -63,7 +63,8 @@ def _stress_world():
 
 @pytest.fixture(scope="module")
 def budget_setup():
-    cfg = graft._tiny_config()
+    # checkerboard is its own knob below; the oracle is full-rate
+    cfg = dataclasses.replace(graft._tiny_config(), checkerboard=False)
     world = _stress_world()
     r = Renderer(cfg)
     r.prepare(world)
@@ -71,13 +72,14 @@ def budget_setup():
     params = build_camera_params(graft._camera(cfg), light_pv)
     ibl = r.ibl.maps()
 
-    def render(divisor, parent_half, mirror_half, merged=False):
+    def render(divisor, parent_half, mirror_half, merged=False, cb=False):
         c = dataclasses.replace(
             cfg,
             pcf_res_divisor=divisor,
             spec_parent_mip_half_res=parent_half,
             spec_mirror_half_res=mirror_half,
             spec_merged_trilinear=merged,
+            checkerboard=cb,
         )
         return unpack_rgba8(np.asarray(
             jax.jit(functools.partial(
@@ -99,9 +101,14 @@ BOUNDS = {
     (1, True, False): (0.25, 0.004),
     (1, False, True): (0.35, 0.006),
     (4, True, True): (1.00, 0.015),
-    # single-gather merged trilinear on top: the production default stack
+    # single-gather merged trilinear on top
     # (the coarse tap's 1/4-parent-texel shift adds <= ~1 LSB)
     (4, True, True, True): (1.10, 0.015),
+    # + checkerboard shading: the production default stack.  Bounds are
+    # calibrated at this 256x128 golden scale, where per-pixel texture
+    # gradients are ~8x steeper than at 1080p (measured there: mean
+    # 0.13 LSB, 0.06% > 12 — scripts/eval_checkerboard.py).
+    (4, True, True, True, True): (2.80, 0.060),
 }
 
 

@@ -16,7 +16,12 @@ from mo_renderer_tpu.scene.scene_buffers import find_shadow_light
 
 
 def test_fast_frame_matches_reference():
-    cfg = graft._tiny_config()
+    import dataclasses
+
+    # cb off: this test pins the fast SAMPLERS against the reference
+    # samplers; the checkerboard approximation has its own budget test
+    # (test_fast_budget.py)
+    cfg = dataclasses.replace(graft._tiny_config(), checkerboard=False)
     world = graft._tiny_world()
     r = Renderer(cfg)
     r.prepare(world)
@@ -54,7 +59,9 @@ def test_megakernel_matches_gather_fast_path():
     gather path: same math, different association — a couple of LSBs."""
     import dataclasses
 
-    cfg = graft._tiny_config()
+    # cb off for both: the megakernel path never checkerboards, so the
+    # comparison must hold the planes path to the same domain
+    cfg = dataclasses.replace(graft._tiny_config(), checkerboard=False)
     world = graft._tiny_world()
     r = Renderer(cfg)
     r.prepare(world)

@@ -113,7 +113,16 @@ def test_golden_pbr_ibl_monkey():
 
 
 def test_golden_entry_procedural():
-    _check(_render_entry(), "entry_procedural_256x128.png")
+    """The default-config entry frame (checkerboard shading on)."""
+    _check(_render_entry(), "entry_cb_256x128.png")
+
+
+def test_golden_no_checkerboard():
+    """Full-rate (non-checkerboard) frame keeps its own golden — the
+    megakernel and row-sharded paths are pinned against it below."""
+    _check(
+        _render_tiny(checkerboard=False), "entry_procedural_256x128.png"
+    )
 
 
 def test_golden_passes_off():
@@ -160,8 +169,12 @@ if __name__ == "__main__" and "--regen" in sys.argv:
         _render_pbr_monkey(),
     )
     write_png(
-        os.path.join(GOLDEN_DIR, "entry_procedural_256x128.png"),
+        os.path.join(GOLDEN_DIR, "entry_cb_256x128.png"),
         _render_entry(),
+    )
+    write_png(
+        os.path.join(GOLDEN_DIR, "entry_procedural_256x128.png"),
+        _render_tiny(checkerboard=False),
     )
     write_png(
         os.path.join(GOLDEN_DIR, "entry_passes_off_256x128.png"),

@@ -65,8 +65,12 @@ def test_tile_sharded_matches_single():
     from mo_renderer_tpu.parallel import TileShardedRenderer, make_view_mesh
     from mo_renderer_tpu.passes.frame_graph import Renderer
 
-    # tall enough that each of the 8 bands exceeds the SSAO halo rows
-    cfg = dataclasses.replace(graft._tiny_config(), height=256)
+    # tall enough that each of the 8 bands exceeds the SSAO halo rows;
+    # cb off: the row-sharded program never checkerboards, so the
+    # single-device frame it is pinned against must not either
+    cfg = dataclasses.replace(
+        graft._tiny_config(), height=256, checkerboard=False
+    )
     world = graft._tiny_world()
     world.insert_resource(graft._camera(cfg))
 
