@@ -131,6 +131,14 @@ class EngineConfig:
     # SSAO tap loop as one Pallas tile kernel (VMEM halo window) instead
     # of ~200 materialized full-image shifts.
     ssao_pallas: bool = True
+    # Evaluate SSAO on the even-pixel grid and bilinearly upsample
+    # (1 = full rate).  The reference's SSAO radius scales with the
+    # window resolution (ssao.comp:97-101 via textureResolution), so the
+    # half-res field is the reference's own semantics at W/2 — a smooth,
+    # noise-dithered quantity that upsamples well.  Budget pinned in
+    # tests/test_fast_budget.py; ignored by the row-sharded path (its
+    # halo exchange is sized for full rate).
+    ssao_res_divisor: int = 2
     # Checkerboard shading: the G-buffer attribute/texture pass and the
     # deferred shading run on HALF the pixels (columns 2j + (y&1)); the
     # other half is reconstructed from its 4 checkerboard neighbors,

@@ -233,22 +233,43 @@ def frame_program(
 
     # --- SSAO --------------------------------------------------------------
     # screen-space neighborhoods need the FULL-res depth even under
-    # checkerboard shading; the result is then checkerboard-sampled
+    # checkerboard shading; the result is then checkerboard-sampled.
+    # ssao_res_divisor=2 evaluates on the even grid instead — the
+    # reference's own semantics at half resolution (its radius scales
+    # with the window, ssao.comp:97-101) — and upsamples to the
+    # shading domain.
+    from .shading import _even_grid, _upsample_pow2, _upsample_to_cb
+
     ssao_depth = z_full if use_cb else gbuf.depth
+    half_ssao = use_ssao and cfg.ssao_res_divisor > 1
+    if half_ssao:
+        d_in = _even_grid(ssao_depth, (2, 2))
+        # the Pallas kernel needs tile-aligned dims; edge-pad and crop
+        ph = _round_up(d_in.shape[0], cfg.tile_h) - d_in.shape[0]
+        pw = _round_up(d_in.shape[1], cfg.tile_w) - d_in.shape[1]
+        d_pad = jnp.pad(d_in, ((0, ph), (0, pw)), mode="edge")
+    else:
+        d_pad = ssao_depth
     if use_ssao:
         if cfg.ssao_pallas:
             ssao = ssao_pass_pallas(
-                ssao_depth, tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+                d_pad, tile_h=cfg.tile_h, tile_w=cfg.tile_w,
                 near=cfg.ssao_near, far=cfg.ssao_far,
             )
         else:
             ssao = ssao_pass(
-                ssao_depth, near=cfg.ssao_near, far=cfg.ssao_far
+                d_pad, near=cfg.ssao_near, far=cfg.ssao_far
             )
+        if half_ssao:
+            ssao = ssao[: d_in.shape[0], : d_in.shape[1]]
+            if use_cb:
+                ssao = _upsample_to_cb(ssao, *gbuf.depth.shape, 2, 1)
+            else:
+                ssao = _upsample_pow2(ssao, *gbuf.depth.shape, 2)
+        elif use_cb:
+            ssao = decimate_cols(ssao, "cb")
     else:
-        ssao = jnp.ones_like(ssao_depth)
-    if use_cb:
-        ssao = decimate_cols(ssao, "cb")
+        ssao = jnp.ones_like(gbuf.depth)
 
     # --- shading + skybox + tonemap ---------------------------------------
     if fast:

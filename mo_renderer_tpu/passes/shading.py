@@ -389,22 +389,25 @@ def _upsample_to_cb_mask_aware(vals_h, mask_h, mask_cb, h, wc):
 
 
 def half_res_geometry(gbuf, cb=False):
-    """Even-grid (position, normal, roughness) in ONE strided slice.
+    """Even-grid (position, normal, roughness, depth) planes.
 
-    The stride-2 slice lowers to an index gather whose cost is per-INDEX
-    (not per-byte), so slicing a concatenated (H, W, 7) array once costs
-    the same as one 3-channel slice — a third of slicing the three
-    planes separately (measured: ~3.6ms vs ~10.8ms at 1080p).
+    Strided slicing via ``_even_grid`` takes XLA's pooling path and is
+    bandwidth-bound (~26us/plane, scripts/bench_decimate.py), so each
+    plane decimates separately — the earlier share-one-concatenated-
+    slice trick dated from when slices lowered to per-index gathers,
+    and its (H, W, 8) concat materialization cost more (0.39ms) than
+    it saved.
 
     cb=True: gbuf lives on the checkerboard domain (H, W/2); its even
     ROWS hold exactly the full frame's (2i, 2j) pixels, so the same
     even grid is a (2, 1) stride there."""
-    src = jnp.concatenate(
-        [gbuf.position, gbuf.normal, gbuf.orm[..., 1:2],
-         gbuf.depth[..., None]], axis=-1
+    st = (2, 1) if cb else (2, 2)
+    return (
+        _even_grid(gbuf.position, st),
+        _even_grid(gbuf.normal, st),
+        _even_grid(gbuf.orm[..., 1], st),
+        _even_grid(gbuf.depth, st),
     )
-    half = _even_grid(src, strides=(2, 1) if cb else (2, 2))
-    return half[..., 0:3], half[..., 3:6], half[..., 6], half[..., 7]
 
 
 def _upsample2x_mask_aware(vals_h, mask_h, mask_full, h, w):

@@ -63,8 +63,11 @@ def _stress_world():
 
 @pytest.fixture(scope="module")
 def budget_setup():
-    # checkerboard is its own knob below; the oracle is full-rate
-    cfg = dataclasses.replace(graft._tiny_config(), checkerboard=False)
+    # checkerboard / half-rate SSAO are their own knobs below; the
+    # oracle is full-rate everything
+    cfg = dataclasses.replace(
+        graft._tiny_config(), checkerboard=False, ssao_res_divisor=1
+    )
     world = _stress_world()
     r = Renderer(cfg)
     r.prepare(world)
@@ -72,7 +75,8 @@ def budget_setup():
     params = build_camera_params(graft._camera(cfg), light_pv)
     ibl = r.ibl.maps()
 
-    def render(divisor, parent_half, mirror_half, merged=False, cb=False):
+    def render(divisor, parent_half, mirror_half, merged=False, cb=False,
+               ssao_div=1):
         c = dataclasses.replace(
             cfg,
             pcf_res_divisor=divisor,
@@ -80,6 +84,7 @@ def budget_setup():
             spec_mirror_half_res=mirror_half,
             spec_merged_trilinear=merged,
             checkerboard=cb,
+            ssao_res_divisor=ssao_div,
         )
         return unpack_rgba8(np.asarray(
             jax.jit(functools.partial(
@@ -104,11 +109,16 @@ BOUNDS = {
     # single-gather merged trilinear on top
     # (the coarse tap's 1/4-parent-texel shift adds <= ~1 LSB)
     (4, True, True, True): (1.10, 0.015),
-    # + checkerboard shading: the production default stack.  Bounds are
-    # calibrated at this 256x128 golden scale, where per-pixel texture
-    # gradients are ~8x steeper than at 1080p (measured there: mean
-    # 0.13 LSB, 0.06% > 12 — scripts/eval_checkerboard.py).
+    # + checkerboard shading.  Bounds are calibrated at this 256x128
+    # golden scale, where per-pixel texture gradients are ~8x steeper
+    # than at 1080p (measured there: mean 0.13 LSB, 0.06% > 12 —
+    # scripts/eval_checkerboard.py).
     (4, True, True, True, True): (2.80, 0.060),
+    # half-rate SSAO alone (the reference's own semantics at W/2 —
+    # its radius scales with the window resolution)
+    (1, False, False, False, False, 2): (1.20, 0.020),
+    # the production default stack: everything on
+    (4, True, True, True, True, 2): (3.20, 0.070),
 }
 
 

@@ -118,10 +118,12 @@ def test_golden_entry_procedural():
 
 
 def test_golden_no_checkerboard():
-    """Full-rate (non-checkerboard) frame keeps its own golden — the
-    megakernel and row-sharded paths are pinned against it below."""
+    """Full-rate (no checkerboard, full-rate SSAO) frame keeps its own
+    golden — the megakernel and row-sharded paths are pinned against it
+    below (neither supports the half-rate knobs)."""
     _check(
-        _render_tiny(checkerboard=False), "entry_procedural_256x128.png"
+        _render_tiny(checkerboard=False, ssao_res_divisor=1),
+        "entry_procedural_256x128.png",
     )
 
 
@@ -139,7 +141,7 @@ def test_golden_megakernel():
     raster_interp_attrs; tested against its own golden so a drift in
     EITHER path is caught absolutely, not just relatively)."""
     _check(
-        _render_tiny(raster_interp_attrs=True),
+        _render_tiny(raster_interp_attrs=True, ssao_res_divisor=1),
         "entry_procedural_256x128.png",
     )
 
@@ -174,7 +176,7 @@ if __name__ == "__main__" and "--regen" in sys.argv:
     )
     write_png(
         os.path.join(GOLDEN_DIR, "entry_procedural_256x128.png"),
-        _render_tiny(checkerboard=False),
+        _render_tiny(checkerboard=False, ssao_res_divisor=1),
     )
     write_png(
         os.path.join(GOLDEN_DIR, "entry_passes_off_256x128.png"),

@@ -68,8 +68,11 @@ def test_tile_sharded_matches_single():
     # tall enough that each of the 8 bands exceeds the SSAO halo rows;
     # cb off: the row-sharded program never checkerboards, so the
     # single-device frame it is pinned against must not either
+    # ...and at full-rate SSAO (the sharded path's halo exchange is
+    # sized for full rate)
     cfg = dataclasses.replace(
-        graft._tiny_config(), height=256, checkerboard=False
+        graft._tiny_config(), height=256, checkerboard=False,
+        ssao_res_divisor=1,
     )
     world = graft._tiny_world()
     world.insert_resource(graft._camera(cfg))
