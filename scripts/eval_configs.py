@@ -77,17 +77,18 @@ def config_ibl_preprocess() -> dict:
     cfg = EngineConfig()
     t0 = time.perf_counter()
     ibl = IBLResource(
+        name=cfg.ibl_env_name,
         resource_root=cfg.resource_root,
-        env_name=cfg.ibl_env_name,
         cache=False,
     )
     ibl.ensure_computed()
-    np.asarray(ibl.specular_mips.data[0])
+    m = ibl.maps()
+    np.asarray(m.specular_mips.level(0))
     dt = time.perf_counter() - t0
 
-    env = np.asarray(ibl.environment_faces)
-    irr = np.asarray(ibl.irradiance_faces)
-    mip0 = np.asarray(ibl.specular_mips.level(0))
+    env = np.asarray(m.environment_faces)
+    irr = np.asarray(m.irradiance_faces)
+    mip0 = np.asarray(m.specular_mips.level(0))
     checks = {
         # specular mip 0 is the mirror level == environment map
         "mirror_mip_matches_env": bool(
@@ -104,7 +105,7 @@ def config_ibl_preprocess() -> dict:
     return {
         "precompute_seconds": round(dt, 2),
         "cubemap_size": int(env.shape[1]),
-        "mips": int(ibl.specular_mips.num_levels),
+        "mips": int(m.specular_mips.num_levels),
         "checks": checks,
         "ok": all(checks.values()),
     }

@@ -29,8 +29,12 @@ def capture():
     import jax
     import numpy as np
 
-    from examples.pbr_ibl import build_app
     from mo_renderer_tpu.config import EngineConfig
+
+    if os.environ.get("MO_TRACE_APP") == "sponza":
+        from examples.sponza_scale import build_app
+    else:
+        from examples.pbr_ibl import build_app
 
     cfg = EngineConfig(width=1920, height=1080)
     app = build_app(cfg)
