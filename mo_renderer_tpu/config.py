@@ -148,9 +148,11 @@ class EngineConfig:
     # streams (texture stack + attrs rows — the measured frame floor,
     # NOTES_PERF.md).  Error budget pinned in tests/test_fast_budget.py.
     # Requires fast_sampling + spec_mirror_half_res; ignored by the
-    # reference path, the megakernel, and row-sharded rendering.
-    # On-vs-off at 1080p (man.glb): mean diff 0.134 LSB, 0.06% of pixels
-    # >12/255 (detail edges only), -14.3ms device frame (36.8 -> 22.5).
+    # reference path and the megakernel; row-sharded rendering
+    # checkerboards per band (bands start on even rows, so the phase
+    # is preserved).  On-vs-off at 1080p (man.glb): mean diff 0.134 LSB,
+    # 0.06% of pixels >12/255 (detail edges only), -14.3ms device frame
+    # (36.8 -> 22.5).
     checkerboard: bool = True
 
     # Asset root containing gltf/, tex/, shaders/ subdirs.

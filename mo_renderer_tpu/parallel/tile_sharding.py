@@ -19,10 +19,13 @@ neighborhoods").  Design:
 - The shadow map is light-space (unrelated to screen rows) and is
   computed replicated.
 
-Deviation vs the unsharded frame: the half-res PCF/specular upsamplers
-interpolate within a band, so the last pixel row of each band blends
-toward an edge-replicated sample instead of the next band's — a <=1-row,
-few-LSB seam per boundary (tests pin it).
+Deviations vs the unsharded frame (tests pin both): the half-res
+PCF/specular upsamplers and the checkerboard reconstruction interpolate
+within a band, so <=2 pixel rows per band boundary blend toward an
+edge-replicated sample instead of the next band's (few LSBs); SSAO runs
+at full rate here (the halo exchange is sized for it — ssao_res_divisor
+is ignored), which differs from the half-rate default field by <=0.4 LSB
+mean.
 """
 
 from __future__ import annotations
@@ -36,8 +39,10 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import EngineConfig
+from ..kernels.decimate import decimate_cols
 from ..kernels.raster_setup import bin_triangles, triangle_setup
 from ..kernels.rasterizer import rasterize
+from ..passes.checkerboard import reconstruct_full
 from ..passes.frame_graph import Renderer, present_pass
 from ..passes.gbuffer import gbuffer_pass_fast
 from ..passes.shading import shading_pass_fast
@@ -117,35 +122,54 @@ def row_sharded_frame_body(
         tile_h=cfg.tile_h, tile_w=cfg.tile_w,
         tile_row_offset=d * tiles_per_band,
     )
+    # checkerboard shading per band: bands start on tile_h multiples
+    # (even rows), so local row parity == the global checkerboard phase
+    # and the band-local decimate/upsample/reconstruct logic is exactly
+    # the single-device one (passes/checkerboard.py).  Reconstruction's
+    # up/down neighbors clamp at band edges — the same <=1-row seam the
+    # half-res upsamplers already have (tests pin it).
+    use_cb = cfg.checkerboard
+    if use_cb:
+        tri_full, z_full = tri, z
+        tri = decimate_cols(tri, "cb")
+        z = decimate_cols(z, "cb")
+        b0 = decimate_cols(b0, "cb")
+        b1 = decimate_cols(b1, "cb")
+    else:
+        z_full = z
     gbuf = gbuffer_pass_fast(
         tri, z, b0, b1, scene, scene.tri_attrs, params,
         slot_map=slot_map,
     )
 
     # --- SSAO with a REAL halo exchange over the mesh -------------------
+    # full-rate on the band's full-res depth (the halo is sized for it;
+    # ssao_res_divisor is ignored here), then checkerboard-sampled
     if cfg.ssao_enabled:
         pad_rows = ssao_halo_rows(pad_w)
         # top halo: my upper neighbor's bottom rows (device d-1 -> d)
-        send_down = gbuf.depth[-pad_rows:]
+        send_down = z_full[-pad_rows:]
         top = jax.lax.ppermute(
             send_down, axis_name,
             perm=[(i, i + 1) for i in range(n_devices - 1)],
         )
         # bottom halo: my lower neighbor's top rows (device d+1 -> d)
-        send_up = gbuf.depth[:pad_rows]
+        send_up = z_full[:pad_rows]
         bottom = jax.lax.ppermute(
             send_up, axis_name,
             perm=[(i + 1, i) for i in range(n_devices - 1)],
         )
         # outermost devices replicate their edge row (like jnp.pad "edge")
-        edge_top = jnp.broadcast_to(gbuf.depth[:1], (pad_rows, pad_w))
-        edge_bottom = jnp.broadcast_to(gbuf.depth[-1:], (pad_rows, pad_w))
+        edge_top = jnp.broadcast_to(z_full[:1], (pad_rows, pad_w))
+        edge_bottom = jnp.broadcast_to(z_full[-1:], (pad_rows, pad_w))
         top = jnp.where(d == 0, edge_top, top)
         bottom = jnp.where(d == n_devices - 1, edge_bottom, bottom)
         ssao = ssao_pass_pallas(
-            gbuf.depth, tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+            z_full, tile_h=cfg.tile_h, tile_w=cfg.tile_w,
             row_offset=row0, y_halo=(top, bottom),
         )
+        if use_cb:
+            ssao = decimate_cols(ssao, "cb")
     else:
         ssao = jnp.ones_like(gbuf.depth)
 
@@ -158,9 +182,13 @@ def row_sharded_frame_body(
         mirror_half_res=cfg.spec_mirror_half_res,
         merged_trilinear=cfg.spec_merged_trilinear,
         row_offset=row0, full_height=pad_h,  # pad_h = viewport height
+        cb=use_cb,
     )
+    rgba = present_pass(color)
+    if use_cb:
+        rgba = reconstruct_full(rgba, tri_full)
     overflow = jnp.stack([binned.overflow, shadow_overflow])
-    return present_pass(color), overflow  # (h_local, pad_w) u32, (2,) i32
+    return rgba, overflow  # (h_local, pad_w) u32, (2,) i32
 
 
 class TileShardedRenderer:

@@ -704,9 +704,9 @@ def shading_pass_fast(
     sample grids stay anchored to the FULL frame's even grid (the cb
     domain's even rows), so tap densities match the non-cb frame; only
     the upsample target geometry changes.  Requires mirror_half_res
-    when ibl is given; incompatible with row sharding."""
-    if cb and (row_offset or full_height is not None):
-        raise NotImplementedError("checkerboard + row sharding")
+    when ibl is given.  With row sharding, row_offset must be EVEN
+    (bands start on tile_h multiples) so local row parity equals the
+    global checkerboard phase."""
     eye = params["eye_pos"]
     lo = shade_lights(gbuf, lights, num_lights, eye,
                       static_count=static_light_count)

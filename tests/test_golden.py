@@ -147,8 +147,10 @@ def test_golden_megakernel():
 
 
 def test_golden_row_sharded():
-    """The row-sharded frame must reproduce the single-device golden."""
-    _check(_render_row_sharded(), "entry_procedural_256x128.png")
+    """The row-sharded frame must reproduce the single-device golden
+    (default config: checkerboard on in both; sharded SSAO is full-rate
+    with real halos, which matches the full-rate field to the LSB)."""
+    _check(_render_row_sharded(), "entry_cb_256x128.png")
 
 
 @pytest.mark.skipif(not os.path.isdir(REF_RES), reason="no reference assets")

@@ -93,6 +93,41 @@ def test_tile_sharded_matches_single():
     assert len(bad_rows) <= 2 * 8, f"diff rows {bad_rows}"
 
 
+def test_tile_sharded_matches_single_checkerboard():
+    """Same pin with checkerboard shading ON in both (the production
+    default): band-local decimate/reconstruct must reproduce the
+    single-device cb frame except for the documented seam rows
+    (reconstruction's up/down neighbors clamp at band edges)."""
+    import dataclasses
+
+    from mo_renderer_tpu.parallel import TileShardedRenderer, make_view_mesh
+    from mo_renderer_tpu.passes.frame_graph import Renderer
+
+    # full-rate SSAO on the single side (the sharded path's halo
+    # exchange is full-rate by construction)
+    cfg = dataclasses.replace(
+        graft._tiny_config(), height=256, checkerboard=True,
+        ssao_res_divisor=1,
+    )
+    world = graft._tiny_world()
+    world.insert_resource(graft._camera(cfg))
+
+    r = Renderer(cfg)
+    r.prepare(world)
+    single = r.render(world)
+
+    ts = TileShardedRenderer(cfg, make_view_mesh(axis_name="rows"))
+    ts.prepare(world)
+    sharded = ts.render(world)
+
+    assert sharded.shape == single.shape
+    diff = np.abs(sharded.astype(int) - single.astype(int))[..., :3]
+    assert diff.mean() < 0.08, f"mean |diff| {diff.mean()}"
+    bad_rows = np.unique(np.where(diff.max(axis=(1, 2)) > 0)[0])
+    # <=2 seam rows per boundary (upsamplers + cb reconstruction)
+    assert len(bad_rows) <= 4 * 8, f"diff rows {bad_rows}"
+
+
 def test_multiview_matches_single_view(tiny_setup):
     cfg, world = tiny_setup
     from mo_renderer_tpu.passes.frame_graph import Renderer
