@@ -105,8 +105,8 @@ def main():
     timeit("chain 20x rw + reshape-ilv", chain_rw_ilv, x)
     timeit("chain 20x rw + pallas-ilv", chain_rw_pilv, x)
 
-    timeit("pallas decimate f32", D.decimate_cols, x, "cb")
-    timeit("pallas decimate i32", D.decimate_cols, xi, "cb")
+    timeit("decimate f32 (reduce_window)", D.decimate_cols, x, "cb")
+    timeit("decimate i32 (reduce_window)", D.decimate_cols, xi, "cb")
     timeit("pallas interleave", D.interleave_cols, a, b)
 
     def rw_slice(t):
