@@ -437,6 +437,54 @@ def build_pcf_window_u16(img):
     return jnp.stack(packed, axis=-1).reshape(-1, 8)
 
 
+def build_pcf_window_u16_half(img):
+    """(S, S) depth -> ((S/2)^2, 8) uint32: the 4x4 u16 window anchored at
+    every EVEN texel (rows 2i..2i+3, cols 2j..2j+3), packed like
+    build_pcf_window_u16.
+
+    Quarter the table bytes (134 -> 34MB at 2048^2) — XLA's gather cost
+    grows with TABLE BYTES at fixed index count (NOTES_PERF.md), so the
+    per-pixel PCF window fetch drops from its ~11ns/idx table-bound tier
+    toward the ~3.5ns floor.  The consumer quantizes each pixel's window
+    anchor DOWN to the even grid and shifts its tap coordinates by the
+    (0|1, 0|1) residual; taps whose bilinear neighbor falls one texel
+    outside the 4x4 window clamp to its edge — a <= half-texel softening
+    on ~1/8 of taps (budget-pinned in tests/test_fast_budget.py).
+    """
+    q = jnp.minimum(
+        jnp.ceil(jnp.clip(img, 0.0, 1.0) * 65535.0), 65535.0
+    ).astype(jnp.uint32)
+
+    def shift_x(t, k):
+        if k == 0:
+            return t
+        return jnp.concatenate(
+            [t[:, k:], jnp.repeat(t[:, -1:], k, axis=1)], axis=1
+        )
+
+    def shift_y(t, k):
+        if k == 0:
+            return t
+        return jnp.concatenate([t[k:], jnp.repeat(t[-1:], k, axis=0)], axis=0)
+
+    def even(t):  # t[::2, ::2] via the pooling path (see kernels/decimate)
+        import jax as _jax
+
+        return _jax.lax.reduce_window(
+            t, jnp.zeros((), t.dtype), _jax.lax.add,
+            window_dimensions=(1, 1), window_strides=(2, 2),
+            padding="VALID",
+        )
+
+    vals = []
+    for r in range(4):
+        ty = shift_y(q, r)
+        for c in range(4):
+            vals.append(even(shift_x(ty, c)))
+    packed = [vals[2 * j] | (vals[2 * j + 1] << 16) for j in range(8)]
+    return jnp.stack(packed, axis=-1).reshape(-1, 8)
+
+
 def build_cube_quad_rows(faces):
     """(6, S, S, C) -> (6*S*S, 4*C) clamped quad rows, face-major."""
     return jnp.concatenate(

@@ -47,10 +47,17 @@ def decimate_cols(x, phase=0):
     """(H, W) -> (H, ceil(W/2)): out[y, j] = x[y, 2j + p(y)].
 
     phase: 0 | 1 (constant column phase) | "cb" (p = y&1) |
-    "anti" (p = 1 - (y&1)).  Any 4-byte dtype.
+    "anti" (p = 1 - (y&1)); the parity phases require even W (an odd
+    plane would need ceil(W/2) even columns but floor(W/2) odd ones).
+    Any 4-byte dtype.
     """
     if phase in (0, 1):
         return _stride2_cols(x, phase)
+    if x.shape[1] % 2:
+        raise ValueError(
+            f"decimate_cols phase {phase!r} needs an even width, got "
+            f"{x.shape[1]} (pad the plane by one edge column first)"
+        )
     e = _stride2_cols(x, 0)
     o = _stride2_cols(x, 1)
     odd = _row_odd(x.shape[0], e.shape[1])
@@ -84,6 +91,16 @@ def interleave_cols(a, b, tile_h: int = 8):
     """
     if jax.default_backend() != "tpu":
         return interleave_cols_ref(a, b)
+    return interleave_cols_pallas(a, b, tile_h=tile_h)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_h", "interpret"))
+def interleave_cols_pallas(a, b, tile_h: int = 8, interpret: bool = False):
+    """The Pallas lane-gather interleave kernel (see module docstring).
+
+    ``interpret=True`` runs it in Pallas interpret mode so the production
+    kernel is exercised by the CPU test suite (tests/test_decimate.py),
+    matching kernels/rasterizer.py's _use_interpret pattern."""
     from jax.experimental import pallas as pl
 
     h, w2 = a.shape
@@ -110,4 +127,5 @@ def interleave_cols(a, b, tile_h: int = 8):
         ],
         out_specs=pl.BlockSpec((tile_h, 2 * _LANES), lambda i, j: (i, j)),
         out_shape=jax.ShapeDtypeStruct((h, 2 * w2), a.dtype),
+        interpret=interpret,
     )(a, b)

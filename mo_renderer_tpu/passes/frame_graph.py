@@ -62,7 +62,14 @@ def build_camera_params(camera: "Camera", light_proj_view) -> dict:
 class RenderPass:
     """API-parity base for custom passes (RenderPassTrait,
     mo_renderpass/src/lib.rs:25-48).  Custom passes are pure functions over
-    the frame context dict; they slot in after shading, before present."""
+    the frame context dict; they slot in after shading, before present.
+
+    Context domain: ctx['color'] / ctx['gbuffer'] / ctx['ssao'] are always
+    FULL-RESOLUTION (H, W[, C]) arrays — matching the reference's
+    RenderPassTrait, whose passes see full-res attachments.  Checkerboard
+    shading (cfg.checkerboard) is therefore disabled automatically whenever
+    extra passes are present: a custom pass must never silently receive the
+    (H, W/2) parity-shuffled cb domain."""
 
     def render(self, ctx: dict) -> dict:
         return ctx
@@ -184,8 +191,12 @@ def frame_program(
     use_megakernel = fast and cfg.raster_interp_attrs
     # checkerboard shading: keep the FULL-res visibility buffer (it
     # guides reconstruction) but run the attribute/texture pass and
-    # everything downstream on half the pixels (passes/checkerboard.py)
-    use_cb = fast and cfg.checkerboard and not use_megakernel
+    # everything downstream on half the pixels (passes/checkerboard.py).
+    # Disabled when custom passes are present: the RenderPass API promises
+    # a full-resolution frame context (see RenderPass docstring).
+    use_cb = (
+        fast and cfg.checkerboard and not use_megakernel and not extra_passes
+    )
     if use_megakernel:
         # append the channel-major attr columns so the raster kernel
         # interpolates attributes in VMEM (rows are DMA'd at 128 floats
@@ -350,6 +361,7 @@ class Renderer:
     def prepare(self, world) -> None:
         from ..assets.ibl_resource import IBLResource
 
+        self._world_generation = getattr(world, "generation", None)
         self.scene = pack_scene(world, self.config)
         ibl_res = world.get_resource(IBLResource)
         if ibl_res is not None:
@@ -497,6 +509,19 @@ class Renderer:
         """One frame, left on device as (H, W) packed-rgba8 uint32 — the
         swapchain-present analog (the reference never reads frames back
         either).  ``present.unpack_rgba8`` restores (H, W, 4) uint8."""
+        # topology changes (spawn/despawn after prepare) invalidate the
+        # packed scene: re-prepare so new entities render instead of
+        # silently showing a stale frame (the reference re-queries the
+        # world per draw, gbuffer_pass.rs:516-548).  Capacities are
+        # static, so only repacking (+ a possible re-jit if the light
+        # count or fast flag changed) happens here.
+        gen = getattr(world, "generation", None)
+        if gen is not None and gen != self._world_generation:
+            logger.info(
+                "world topology changed (generation %s -> %s): re-preparing",
+                self._world_generation, gen,
+            )
+            self.prepare(world)
         # dynamic transforms: the reference re-reads Transform per draw
         # (gbuffer_pass.rs:516-548); re-bake if any entity moved (no-op
         # when nothing changed)

@@ -40,17 +40,23 @@ class World:
         self._entities: dict[int, dict[type, Any]] = {}
         self._resources: dict[type, Any] = {}
         self._next_id = 0
+        # bumped on every topology change (spawn/despawn) so renderers can
+        # detect a stale packed scene — the analog of the reference
+        # re-querying the world every frame (gbuffer_pass.rs:516-548)
+        self.generation = 0
 
     # --- entities (App::add_entity, mod.rs:120-126) ---------------------
     def spawn(self, components=()) -> Entity:
         eid = self._next_id
         self._next_id += 1
         self._entities[eid] = {type(c): c for c in components}
+        self.generation += 1
         return Entity(eid, self)
 
     def despawn(self, entity) -> None:
         eid = entity.id if isinstance(entity, Entity) else entity
-        self._entities.pop(eid, None)
+        if self._entities.pop(eid, None) is not None:
+            self.generation += 1
 
     def entity_components(self, eid: int) -> dict[type, Any]:
         return self._entities[eid]

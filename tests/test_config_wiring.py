@@ -147,3 +147,43 @@ def test_renderer_resize():
     world.insert_resource(graft._camera(cfg))
     f2 = r.render(world)
     np.testing.assert_array_equal(f0, f2)
+
+
+def test_custom_pass_sees_full_resolution_context():
+    """The RenderPass API promises a FULL-resolution frame context even
+    under the checkerboard default: cfg.checkerboard must be disabled
+    when extra passes are present (a custom screen-space pass silently
+    operating on the (H, W/2) parity-shuffled domain would corrupt the
+    frame with no error)."""
+    from mo_renderer_tpu.passes.frame_graph import RenderPass
+
+    cfg = graft._tiny_config()
+    assert cfg.checkerboard  # the default this test guards against
+    world = _world(cfg)
+
+    seen = {}
+
+    class Probe(RenderPass):
+        def render(self, ctx):
+            seen["color"] = ctx["color"].shape
+            seen["ssao"] = ctx["ssao"].shape
+            seen["gbuffer"] = ctx["gbuffer"].depth.shape
+            # dim the frame so the pass's effect is observable
+            ctx = dict(ctx)
+            ctx["color"] = ctx["color"] * 0.5
+            return ctx
+
+    r = Renderer(cfg, extra_passes=[Probe()])
+    r.prepare(world)
+    frame = r.render(world)
+
+    pad_hw = (r.pad_h, r.pad_w)
+    assert seen["color"][:2] == pad_hw, seen
+    assert seen["ssao"][:2] == pad_hw, seen
+    assert seen["gbuffer"][:2] == pad_hw, seen
+
+    baseline = Renderer(cfg)
+    baseline.prepare(world)
+    f0 = baseline.render(world)
+    # the probe dims the image: the custom pass must actually run
+    assert frame[..., :3].astype(int).sum() < f0[..., :3].astype(int).sum()

@@ -37,6 +37,36 @@ def test_interleave_cols(shape):
     assert (got == want).all()
 
 
+def test_decimate_odd_width_parity_raises():
+    """cb/anti on an odd-width plane cannot satisfy the (H, ceil(W/2))
+    contract (even/odd column counts differ); must fail loudly."""
+    x = jnp.zeros((8, 131), jnp.float32)
+    for phase in ("cb", "anti"):
+        with pytest.raises(ValueError, match="even width"):
+            D.decimate_cols(x, phase)
+    # constant phases remain fine on odd widths
+    assert D.decimate_cols(x, 0).shape == (8, 66)
+    assert D.decimate_cols(x, 1).shape == (8, 65)
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.uint32])
+def test_interleave_cols_pallas_interpret(dtype):
+    """The production Pallas lane-gather kernel (TPU path of
+    interleave_cols) run in interpret mode on CPU, vs the reshape oracle —
+    keeps the frame's final assembly kernel inside CI."""
+    rng = np.random.default_rng(4)
+    for shape in [(8, 128), (16, 960)]:
+        if dtype == np.uint32:
+            a = jnp.asarray(rng.integers(0, 1 << 32, shape, np.uint32))
+            b = jnp.asarray(rng.integers(0, 1 << 32, shape, np.uint32))
+        else:
+            a = jnp.asarray(rng.random(shape, dtype))
+            b = jnp.asarray(rng.random(shape, dtype))
+        got = np.asarray(D.interleave_cols_pallas(a, b, interpret=True))
+        want = np.asarray(D.interleave_cols_ref(a, b))
+        assert (got == want).all()
+
+
 def test_cb_roundtrip():
     """decimate cb + anti then parity-swapped interleave reproduces x."""
     rng = np.random.default_rng(3)

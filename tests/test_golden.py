@@ -147,10 +147,12 @@ def test_golden_megakernel():
 
 
 def test_golden_row_sharded():
-    """The row-sharded frame must reproduce the single-device golden
-    (default config: checkerboard on in both; sharded SSAO is full-rate
-    with real halos, which matches the full-rate field to the LSB)."""
-    _check(_render_row_sharded(), "entry_cb_256x128.png")
+    """The row-sharded frame must reproduce a single-device golden rendered
+    at the SHARDED path's actual configuration — checkerboard on, FULL-rate
+    SSAO (tile_sharding sizes its halo exchange for full rate and ignores
+    ssao_res_divisor) — so seam/SSAO drift isn't hidden inside the
+    tolerance for a cross-config field difference."""
+    _check(_render_row_sharded(), "entry_cb_ssao1_256x128.png")
 
 
 @pytest.mark.skipif(not os.path.isdir(REF_RES), reason="no reference assets")
@@ -179,6 +181,10 @@ if __name__ == "__main__" and "--regen" in sys.argv:
     write_png(
         os.path.join(GOLDEN_DIR, "entry_procedural_256x128.png"),
         _render_tiny(checkerboard=False, ssao_res_divisor=1),
+    )
+    write_png(
+        os.path.join(GOLDEN_DIR, "entry_cb_ssao1_256x128.png"),
+        _render_tiny(ssao_res_divisor=1),
     )
     write_png(
         os.path.join(GOLDEN_DIR, "entry_passes_off_256x128.png"),
