@@ -41,10 +41,43 @@ def build_app():
     return app
 
 
+def _path_params(app, n):
+    """n distinct per-frame camera params along a gentle orbit — a real
+    animated camera path (every frame renders different pixels)."""
+    import math
+
+    from mo_renderer_tpu.passes.frame_graph import build_camera_params
+    from mo_renderer_tpu.scene.camera import Camera
+    from mo_renderer_tpu.scene.scene_buffers import find_shadow_light
+
+    camera = app.world.resource(Camera)
+    light_pv, _ = find_shadow_light(app.world)
+    base = np.asarray(camera.transform.translation, np.float64).copy()
+    out = []
+    for i in range(n):
+        a = 2.0 * math.pi * i / max(n, 1)
+        camera.transform.translation = (
+            base + 0.05 * np.array([math.sin(a), 0.0, math.cos(a) - 1.0])
+        ).astype(np.float32)
+        camera.refresh_view()
+        out.append(build_camera_params(camera, light_pv))
+    camera.transform.translation = base.astype(np.float32)
+    camera.refresh_view()
+    return out
+
+
 def main():
     app = build_app()
     app.resumed()
     renderer = app.renderer
+
+    # MO_BENCH_SEQ=K renders K frames per dispatch (lax.scan over stacked
+    # camera params, Renderer.render_sequence_device).  Default 1: measured
+    # SLOWER here (42.8 vs 47.9 fps at K=10) — per-frame dispatches already
+    # pipeline on this backend, so the ~3ms per-call floor is pure latency,
+    # not throughput; the scanned body pays a params dynamic-slice and a
+    # (K, H, W) output allocation instead (NOTES_PERF.md).
+    seq = int(os.environ.get("MO_BENCH_SEQ", "1"))
 
     def device_frame():
         # run the runtime systems + one jitted frame, frame stays on
@@ -52,17 +85,31 @@ def main():
         app.runtime_schedule.run(app.world)
         return renderer.render_device(app.world)
 
-    for _ in range(WARMUP_FRAMES):
-        frame = device_frame()
-    np.asarray(frame[0, 0])  # sync
+    if seq > 1:
+        path = _path_params(app, seq)
+        frames = renderer.render_sequence_device(app.world, path)
+        np.asarray(frames[0, 0, 0])  # sync (warm)
+        n_dispatch = max(1, BENCH_FRAMES // seq)
+        t0 = time.perf_counter()
+        for _ in range(n_dispatch):
+            frames = renderer.render_sequence_device(app.world, path)
+        np.asarray(frames[0, 0, 0])
+        elapsed = time.perf_counter() - t0
+        n_frames = n_dispatch * seq
+        frame = frames[-1]
+    else:
+        for _ in range(WARMUP_FRAMES):
+            frame = device_frame()
+        np.asarray(frame[0, 0])  # sync
 
-    t0 = time.perf_counter()
-    for _ in range(BENCH_FRAMES):
-        frame = device_frame()
-    np.asarray(frame[0, 0])  # blocks until the last frame is computed
-    elapsed = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(BENCH_FRAMES):
+            frame = device_frame()
+        np.asarray(frame[0, 0])  # blocks until the last frame is computed
+        elapsed = time.perf_counter() - t0
+        n_frames = BENCH_FRAMES
 
-    fps = BENCH_FRAMES / elapsed
+    fps = n_frames / elapsed
     mpix = fps * WIDTH * HEIGHT / 1e6
     from mo_renderer_tpu.passes.present import unpack_rgba8
 
@@ -77,7 +124,8 @@ def main():
         "unit": "fps",
         "vs_baseline": round(fps / 60.0, 3),
         "mpixels_per_s": round(mpix, 1),
-        "frames": BENCH_FRAMES,
+        "frames": n_frames,
+        "frames_per_dispatch": seq,
         "resolution": f"{WIDTH}x{HEIGHT}",
         "backend": __import__("jax").default_backend(),
     }))

@@ -108,6 +108,16 @@ class EngineConfig:
     # two f32 wide-row gathers.  Ceil quantization: boundary shift of at
     # most one 1.5e-5 depth quantum, no acne (see sampling.build_pcf_window_u16).
     pcf_u16: bool = True
+    # Anchor the u16 PCF windows on the EVEN texel grid only: quarter the
+    # window-table bytes (134 -> 34MB at 2048^2).  XLA's gather cost grows
+    # with TABLE BYTES at a fixed index count (NOTES_PERF.md), and the PCF
+    # window fetch was the one gather still table-bytes bound (~11ns/idx
+    # vs the ~3.5ns floor).  Odd-anchored pixels shift their taps by the
+    # (0|1, 0|1) residual inside the even-anchored window; a tap's
+    # bilinear neighbor that falls one texel outside clamps to the window
+    # edge — a <= half-texel softening on ~1/8 of taps (budget pinned in
+    # tests/test_fast_budget.py).
+    pcf_half_anchor: bool = True
     # Evaluate the PCF factor on a strided pixel grid (1 = full res,
     # 2 = even pixels, 4 = every 4th) and bilinearly upsample — the
     # divisor^2-fold fewer gather indices into the 134MB window table

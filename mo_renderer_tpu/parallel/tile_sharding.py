@@ -54,14 +54,12 @@ logger = logging.getLogger("mo_renderer_tpu")
 
 
 def _shadow_quads_replicated(scene, vs, cfg, binned_cap):
-    from ..device.sampling import build_pcf_window_u16, build_window_rows_2x4
-    from ..passes.frame_graph import _shadow_map_from_clip
+    from ..passes.frame_graph import _pcf_build, _shadow_map_from_clip
 
     shadow_map, overflow = _shadow_map_from_clip(
         vs.shadow_clip, scene, cfg=cfg, binned_cap=binned_cap
     )
-    build = build_pcf_window_u16 if cfg.pcf_u16 else build_window_rows_2x4
-    return build(shadow_map), overflow
+    return _pcf_build(cfg)(shadow_map), overflow
 
 
 def row_sharded_frame_body(

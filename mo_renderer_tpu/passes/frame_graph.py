@@ -18,7 +18,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import EngineConfig
-from ..device.sampling import build_pcf_window_u16, build_window_rows_2x4
+from ..device.sampling import (
+    build_pcf_window_u16,
+    build_pcf_window_u16_half,
+    build_window_rows_2x4,
+)
 from ..kernels.decimate import decimate_cols
 from ..kernels.raster_setup import bin_triangles, triangle_setup
 from .checkerboard import reconstruct_full
@@ -36,6 +40,17 @@ from .ssao import ssao_pass, ssao_pass_pallas
 from .vertex_stage import pack_raster_attr_columns, run_vertex_stage
 
 logger = logging.getLogger("mo_renderer_tpu")
+
+
+def _pcf_build(cfg):
+    """Shadow-map -> PCF table builder for the configured layout; the
+    consumer (shading.calculate_shadow_fast) infers the layout from the
+    table's dtype and row count."""
+    if not cfg.pcf_u16:
+        return build_window_rows_2x4
+    if cfg.pcf_half_anchor:
+        return build_pcf_window_u16_half
+    return build_pcf_window_u16
 
 
 def build_camera_params(camera: "Camera", light_proj_view) -> dict:
@@ -121,7 +136,7 @@ def shadow_program(scene, light_proj_view, *, cfg, binned_cap):
     )
     world_pos4 = jnp.einsum("vij,vj->vi", world, pos1)
     shadow_clip = world_pos4 @ light_proj_view.T
-    build = build_pcf_window_u16 if cfg.pcf_u16 else build_window_rows_2x4
+    build = _pcf_build(cfg)
     shadow_map, overflow = _shadow_map_from_clip(
         shadow_clip, scene, cfg=cfg, binned_cap=binned_cap
     )
@@ -285,8 +300,7 @@ def frame_program(
     # --- shading + skybox + tonemap ---------------------------------------
     if fast:
         if shadow_quads is None and shadow_map is not None:
-            build_q = build_pcf_window_u16 if cfg.pcf_u16 else build_window_rows_2x4
-            shadow_quads = build_q(shadow_map)
+            shadow_quads = _pcf_build(cfg)(shadow_map)
         if not (use_shadow and has_shadow_light):
             shadow_quads = None
         color = shading_pass_fast(
@@ -416,6 +430,33 @@ class Renderer:
                 with_overflow=True,
             )
 
+        @functools.partial(jax.jit, static_argnames=("has_shadow_light",))
+        def sequence(scene, ibl, params_stack, has_shadow_light):
+            # K frames in ONE XLA program: lax.scan over the stacked
+            # camera params.  The scene is frame-invariant, so only the
+            # (tiny) params pytree scans; each step is the full frame
+            # (shadow raster included — the light may move per frame).
+            def body(ovf, p):
+                rgba, o = frame_program(
+                    p_scene, ibl, p,
+                    cfg=cfg, pad_w=pad_w, pad_h=pad_h,
+                    binned_cap=binned_cap,
+                    has_shadow_light=has_shadow_light,
+                    extra_passes=extra_passes,
+                    fast_sampling=fast,
+                    slot_map=slot_map,
+                    static_light_count=n_lights,
+                    with_overflow=True,
+                )
+                return ovf + o, rgba
+
+            p_scene = scene
+            ovf, frames = jax.lax.scan(
+                body, jnp.zeros((2,), jnp.int32), params_stack
+            )
+            return frames, ovf
+
+        self._sequence_fn = sequence
         self._shadow_fn = jax.jit(
             functools.partial(shadow_program, cfg=cfg, binned_cap=binned_cap)
         )
@@ -534,6 +575,36 @@ class Renderer:
         )
         self._note_overflow(overflow)
         return rgba
+
+    def render_sequence_device(self, world, params_list):
+        """K frames in ONE dispatch, left on device as (K, H, W) packed
+        u32 — ``lax.scan`` over the stacked per-frame camera params.
+
+        The per-jit-call dispatch floor (~3-4ms on a remote backend,
+        NOTES_PERF.md) amortizes K-fold, so camera-path / offline-render
+        workloads run at the device's true frame rate.  The scene is
+        frame-invariant within the sequence (use ``render_device`` for
+        interactive frames where entities move between frames); each
+        scanned step still renders the FULL frame, shadow raster
+        included (the light may differ per frame via the params).
+
+        params_list: per-frame dicts from ``build_camera_params`` (the
+        reference's per-frame UBO write, shading_pass.rs:200-214).
+        """
+        gen = getattr(world, "generation", None)
+        if gen is not None and gen != self._world_generation:
+            self.prepare(world)
+        self.scene = refresh_transforms(self.scene)
+        _, has_light = self.frame_params(world)
+        stack = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *params_list
+        )
+        ibl_maps = self.ibl.maps() if self.ibl is not None else None
+        frames, overflow = self._sequence_fn(
+            self.scene, ibl_maps, stack, has_shadow_light=has_light
+        )
+        self._note_overflow(overflow)
+        return frames
 
     def render(self, world) -> np.ndarray:
         """One frame fetched to host as (H, W, 4) uint8 rgba."""

@@ -24,8 +24,7 @@ from ..assets import materials as M
 from ..device import sampling
 from ..kernels.tonemap import srgb_to_linear
 from .vertex_stage import (
-    TRI_B0,
-    TRI_HAS_TANGENT,
+    TRI_HANDED,
     TRI_MAT,
     TRI_N0,
     TRI_T0,
@@ -224,10 +223,17 @@ def gbuffer_pass_fast(tri, z, b0, b1, scene, tri_attrs, params,
     world_pos = interp(TRI_WP0, 3)
     n_in = interp(TRI_N0, 3)
     t_in = interp(TRI_T0, 3)
-    bt_in = interp(TRI_B0, 3)
     uv0 = interp(TRI_UV0, 2)
     mat_id = row[..., TRI_MAT].astype(jnp.int32)
-    has_tangent = row[..., TRI_HAS_TANGENT] > 0.5
+    handed = row[..., TRI_HANDED]
+    has_tangent = jnp.abs(handed) > 0.5
+    # bitangent recomputed per pixel (rows carry no corner bitangents —
+    # 35 vs 44 gather bytes/row): B = cross(N, T) * tangent.w.  Matches
+    # the reference's interpolated per-vertex bitangent (gbuffer.vert:
+    # 37-44) exactly for rotation/uniform-scale transforms, up to
+    # interpolation order (cross of interpolants vs interpolated cross —
+    # second-order across a triangle; pinned by tests/test_fast_frame.py).
+    bt_in = jnp.cross(n_in, t_in) * handed[..., None]
 
     # clip positions are linear in world pos: interpolate-then-project
     wp1 = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], -1)

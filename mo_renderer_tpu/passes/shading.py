@@ -232,16 +232,39 @@ def calculate_shadow_fast(world_pos, light_proj_view, shadow_quad_rows, s):
     y0i = y0.astype(jnp.int32)
 
     if shadow_quad_rows.dtype == jnp.uint32:
-        # u16-packed full window: ONE gather
-        q = sampling.take_rows(
-            shadow_quad_rows, (y0i - 1) * s + (x0i - 1)
-        )  # (..., 8) u32
+        # u16-packed full window: ONE gather.  A table with (s/2)^2 rows
+        # is anchored on the even texel grid only (build_pcf_window_u16_half,
+        # quarter the bytes): quantize the anchor DOWN to even and shift
+        # taps by the (0|1, 0|1) residual inside the fetched window.
+        ya = y0i - 1
+        xa = x0i - 1
+        half_anchor = shadow_quad_rows.shape[0] == (s // 2) ** 2
+        if half_anchor:
+            idx = (ya >> 1) * (s // 2) + (xa >> 1)
+        else:
+            idx = ya * s + xa
+        q = sampling.take_rows(shadow_quad_rows, idx)  # (..., 8) u32
 
         def texel(r, c):
             v = (q[..., (r * 4 + c) // 2] >> (16 * (c & 1))) & 0xFFFF
             return v.astype(jnp.float32) * (1.0 / 65535.0)
 
-        w_rows = [[texel(r, c) for c in range(4)] for r in range(4)]
+        if half_anchor:
+            ry = ya & 1
+            rx = xa & 1
+            phys = [[texel(r, c) for c in range(4)] for r in range(4)]
+
+            def shifted(r, c):
+                # logical texel (r, c) lives at physical (r+ry, c+rx);
+                # the r+ry==4 / c+rx==4 neighbors clamp to the window edge
+                r1, c1 = min(r + 1, 3), min(c + 1, 3)
+                a = jnp.where(rx == 0, phys[r][c], phys[r][c1])
+                b = jnp.where(rx == 0, phys[r1][c], phys[r1][c1])
+                return jnp.where(ry == 0, a, b)
+
+            w_rows = [[shifted(r, c) for c in range(4)] for r in range(4)]
+        else:
+            w_rows = [[texel(r, c) for c in range(4)] for r in range(4)]
     else:
         def wide(dy):  # rows (y0+dy, y0+dy+1) x cols (x0-1 .. x0+2)
             idx = (y0i + dy) * s + (x0i - 1)

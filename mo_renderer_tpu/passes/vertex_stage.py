@@ -93,7 +93,7 @@ def run_vertex_stage(scene, proj_view, prev_proj_view, light_proj_view):
     )
 
 
-# Packed per-triangle corner attributes: one (T, 56) row per triangle so
+# Packed per-triangle corner attributes: one (T, 35) row per triangle so
 # the G-buffer pass fetches ALL corner data with a single row gather per
 # pixel (XLA TPU gathers cost ~7ns per index; the naive path does 27
 # per-corner gathers).  Clip/prev-clip/shadow positions and 1/w are NOT
@@ -102,11 +102,16 @@ def run_vertex_stage(scene, proj_view, prev_proj_view, light_proj_view):
 TRI_WP0 = 0          # 3 x world_pos (9)
 TRI_N0 = 9           # 3 x world_normal (9)
 TRI_T0 = 18          # 3 x world_tangent (9)
-TRI_B0 = 27          # 3 x world_bitangent (9)
-TRI_UV0 = 36         # 3 x uv0 (6)
-TRI_MAT = 42         # material id (1)
-TRI_HAS_TANGENT = 43 # 0/1 (1)
-TRI_STRIDE = 44      # no padding — gather bytes/row is the cost driver
+TRI_UV0 = 27         # 3 x uv0 (6)
+TRI_MAT = 33         # material id (1)
+TRI_HANDED = 34      # 0 = no tangent; +-1 = tangent.w handedness sign
+TRI_STRIDE = 35      # no padding — gather bytes/row is the cost driver
+# Corner BITANGENTS are not packed: consumers recompute
+# B = cross(N, T) * handed per pixel from the interpolated
+# normal/tangent, with the handedness sign folded into TRI_HANDED
+# (documented deviation from the reference's per-vertex bitangent,
+# gbuffer.vert:37-44 — identical for rotation/uniform-scale transforms
+# up to interpolation order; pinned by tests/test_fast_frame.py).
 # uv1 is NOT packed: the fast paths sample UV set 0 only (scenes using
 # UV1 fall back to gbuffer_pass, which reads scene.uv1 directly).
 
@@ -124,12 +129,15 @@ RA_EXTRA_COLS = 3 + 3 * RA_N_INTERP + 2  # 47
 
 
 def pack_raster_attr_columns(tri_attrs, proj_view) -> jnp.ndarray:
-    """(T, 56) tri_attrs + proj_view -> (T, 47) extra raster columns.
+    """(T, 35) tri_attrs + proj_view -> (T, 47) extra raster columns.
 
     Reorders the corner-major tri_attrs rows into channel-major triplets
     and prepends per-corner 1/w so the Pallas raster kernel can do exact
     perspective-correct interpolation in VMEM (the w row of proj_view is
     linear in world position — same identity gbuffer_pass_fast uses).
+    Corner bitangents are synthesized here (cross(N, T) * handed — the
+    rows no longer carry them) so the kernel still interpolates all 14
+    channels unchanged.
     """
     pv3 = proj_view[3]
 
@@ -138,20 +146,35 @@ def pack_raster_attr_columns(tri_attrs, proj_view) -> jnp.ndarray:
         w = wp[:, 0] * pv3[0] + wp[:, 1] * pv3[1] + wp[:, 2] * pv3[2] + pv3[3]
         return 1.0 / jnp.where(jnp.abs(w) > 1e-20, w, 1.0)
 
+    handed = tri_attrs[:, TRI_HANDED]
+    corner_bt = [
+        jnp.cross(
+            tri_attrs[:, TRI_N0 + 3 * k : TRI_N0 + 3 * (k + 1)],
+            tri_attrs[:, TRI_T0 + 3 * k : TRI_T0 + 3 * (k + 1)],
+        ) * handed[:, None]
+        for k in range(3)
+    ]
+
     cols = [corner_iw(k)[:, None] for k in range(3)]
     for base, width in (
-        (TRI_WP0, 3), (TRI_N0, 3), (TRI_T0, 3), (TRI_B0, 3), (TRI_UV0, 2),
+        (TRI_WP0, 3), (TRI_N0, 3), (TRI_T0, 3),
     ):
         for j in range(width):
             for k in range(3):
                 cols.append(tri_attrs[:, base + k * width + j, None])
+    for j in range(3):  # bitangent channel triplets
+        for k in range(3):
+            cols.append(corner_bt[k][:, j, None])
+    for j in range(2):  # uv0
+        for k in range(3):
+            cols.append(tri_attrs[:, TRI_UV0 + k * 2 + j, None])
     cols.append(tri_attrs[:, TRI_MAT, None])
-    cols.append(tri_attrs[:, TRI_HAS_TANGENT, None])
+    cols.append(jnp.abs(handed)[:, None])  # has_tangent flag
     return jnp.concatenate(cols, axis=-1)
 
 
 def pack_triangle_attributes(scene, vs: VertexOutputs) -> jnp.ndarray:
-    """(T, 44) f32 corner-attribute rows (gathered per pixel downstream)."""
+    """(T, 35) f32 corner-attribute rows (gathered per pixel downstream)."""
     i0, i1, i2 = (scene.indices[:, k] for k in range(3))
 
     def corners(attr):  # (V, C) -> (T, 3*C)
@@ -162,14 +185,18 @@ def pack_triangle_attributes(scene, vs: VertexOutputs) -> jnp.ndarray:
     mat_id = jnp.take(
         scene.mesh_material, scene.tri_mesh, axis=0
     ).astype(jnp.float32)
+    # handedness column: 0 when the mesh has no tangents, else the sign
+    # of tangent.w (glTF: +-1, uniform per primitive in practice) — the
+    # consumer rebuilds the bitangent as cross(N, T) * handed
     has_t = jnp.take(vs.has_tangent, i0, axis=0).astype(jnp.float32)
+    tw = jnp.take(scene.tangent[:, 3], i0, axis=0)
+    handed = has_t * jnp.where(tw < 0.0, -1.0, 1.0)
     parts = [
         corners(vs.world_pos),
         corners(vs.world_normal),
         corners(vs.world_tangent),
-        corners(vs.world_bitangent),
         corners(scene.uv0),
         mat_id[:, None],
-        has_t[:, None],
+        handed[:, None],
     ]
     return jnp.concatenate(parts, axis=-1)

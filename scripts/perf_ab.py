@@ -1,0 +1,61 @@
+"""A/B steady-state device-frame timing for config knobs at 1080p.
+
+Usage: python scripts/perf_ab.py knob=value [knob=value ...] -- compares
+the default config against the overridden one in ONE process (same
+backend state), 4 trials x 10 frames each.  Remember block_until_ready
+does not block on the axon backend — np.asarray of one pixel syncs.
+"""
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("MO_MODEL", "man.glb")
+
+import numpy as np
+
+from examples.pbr_ibl import build_app
+from mo_renderer_tpu.config import EngineConfig
+
+
+def _time_renderer(r, world, label):
+    params, has_light = r.frame_params(world)
+    ibl = r.ibl.maps()
+    f, _ = r._frame_fn(r.scene, ibl, params, None, has_shadow_light=has_light)
+    np.asarray(f[0, 0])
+    best = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
+        for _ in range(10):
+            f, _ = r._frame_fn(r.scene, ibl, params, None,
+                               has_shadow_light=has_light)
+        np.asarray(f[0, 0])
+        best = min(best, (time.perf_counter() - t0) / 10)
+    print(f"{label}: {best*1e3:8.2f} ms  ({1.0/best:.2f} fps)", flush=True)
+    return best
+
+
+def main():
+    overrides = {}
+    for arg in sys.argv[1:]:
+        k, v = arg.split("=", 1)
+        cur = getattr(EngineConfig, k)
+        overrides[k] = (v in ("1", "True", "true")) if isinstance(cur, bool) \
+            else type(cur)(v)
+
+    cfg_a = EngineConfig(width=1920, height=1080)
+    app = build_app(cfg_a)
+    app.resumed()
+    _time_renderer(app.renderer, app.world, "A (defaults)")
+
+    cfg_b = dataclasses.replace(cfg_a, **overrides)
+    from mo_renderer_tpu.passes.frame_graph import Renderer
+
+    rb = Renderer(cfg_b)
+    rb.prepare(app.world)
+    _time_renderer(rb, app.world, f"B ({overrides})")
+
+
+if __name__ == "__main__":
+    main()

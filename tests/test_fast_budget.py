@@ -76,7 +76,7 @@ def budget_setup():
     ibl = r.ibl.maps()
 
     def render(divisor, parent_half, mirror_half, merged=False, cb=False,
-               ssao_div=1):
+               ssao_div=1, pcf_half=False):
         c = dataclasses.replace(
             cfg,
             pcf_res_divisor=divisor,
@@ -85,6 +85,7 @@ def budget_setup():
             spec_merged_trilinear=merged,
             checkerboard=cb,
             ssao_res_divisor=ssao_div,
+            pcf_half_anchor=pcf_half,
         )
         return unpack_rgba8(np.asarray(
             jax.jit(functools.partial(
@@ -119,6 +120,12 @@ BOUNDS = {
     (1, False, False, False, False, 2): (1.20, 0.020),
     # the production default stack: everything on
     (4, True, True, True, True, 2): (3.20, 0.070),
+    # even-anchor PCF windows alone (34MB table): odd-anchored pixels
+    # clamp out-of-window bilinear neighbors to the window edge — a
+    # <= half-texel penumbra softening
+    (1, False, False, False, False, 1, True): (0.50, 0.008),
+    # the full production stack INCLUDING the even-anchor PCF table
+    (4, True, True, True, True, 2, True): (3.40, 0.075),
 }
 
 

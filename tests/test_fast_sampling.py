@@ -103,6 +103,46 @@ def test_pcf_window_u16(rng):
                 assert v == q[min(y + r, 8), min(x + c, 12)]
 
 
+def test_pcf_window_u16_half(rng):
+    """The even-anchor table holds exactly the full table's even rows."""
+    img = jnp.asarray(rng.random((16, 16), dtype=np.float32))
+    full = np.asarray(sampling.build_pcf_window_u16(img)).reshape(16, 16, 8)
+    half = np.asarray(sampling.build_pcf_window_u16_half(img)).reshape(8, 8, 8)
+    np.testing.assert_array_equal(half, full[::2, ::2])
+
+
+def test_pcf_half_anchor_matches_full_on_even_anchors(rng):
+    """Where a pixel's window anchor is already even, the half-anchor
+    PCF factor is bit-identical to the full-table path; elsewhere the
+    edge clamp softens at most a bounded fraction of taps."""
+    from mo_renderer_tpu.passes.shading import calculate_shadow_fast
+
+    s = 64
+    smap = jnp.asarray(rng.random((s, s), dtype=np.float32))
+    wp = jnp.asarray(rng.normal(size=(64, 64, 3)).astype(np.float32)) * 2.0
+    lpv = jnp.asarray(np.diag([0.3, 0.3, 0.2, 1.0]).astype(np.float32))
+
+    full = np.asarray(calculate_shadow_fast(
+        wp, lpv, sampling.build_pcf_window_u16(smap), s
+    ))
+    half = np.asarray(calculate_shadow_fast(
+        wp, lpv, sampling.build_pcf_window_u16_half(smap), s
+    ))
+    # recompute each pixel's anchor parity like the consumer does
+    p = np.concatenate([np.asarray(wp), np.ones_like(wp[..., :1])], -1)
+    lp = p @ np.asarray(lpv).T
+    proj = lp[..., :3] / lp[..., 3:4]
+    uvx = np.clip((proj[..., 0] * 0.5 + 0.5) * s - 0.5, 1.0, s - 3.0)
+    uvy = np.clip((proj[..., 1] * 0.5 + 0.5) * s - 0.5, 1.0, s - 3.0)
+    even = (((np.floor(uvx).astype(int) - 1) % 2) == 0) & (
+        ((np.floor(uvy).astype(int) - 1) % 2) == 0
+    )
+    np.testing.assert_array_equal(full[even], half[even])
+    # odd-anchored pixels only differ where an edge-clamped tap flips
+    frac = (np.abs(full - half) > 1e-6).mean()
+    assert frac < 0.20, f"diff fraction {frac}"
+
+
 def test_pcf_u16_matches_f32_shadow(rng):
     """Full PCF factor: u16 single-gather vs f32 two-gather path.
 
