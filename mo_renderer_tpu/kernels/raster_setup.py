@@ -11,12 +11,22 @@ depth).  On TPU we re-derive the same semantics as data-parallel math:
    fill rule, front face = counter-clockwise in y-down screen space
    (negative signed area here), LessOrEqual depth with later-draw-wins.
 
-2. ``bin_triangles``: triangles -> per-tile contiguous runs.  Each triangle
-   emits up to MAX_TILES_PER_TRI (tile, tri) pairs; a stable sort by tile
-   compacts them into runs the Pallas kernel DMAs sequentially (fully
-   coherent loads, every loaded triangle is relevant to its tile).
-   Triangles spanning more tiles than the cap go to a small global list
-   that stays resident in VMEM and is tested by every tile.
+2. ``bin_triangles``: triangles -> per-tile contiguous runs, via a sort of
+   packed (tile, tri) keys.  Measured span statistics (scripts/
+   bench_binning.py, sponza @1080p: 97%+ of live triangles touch <= 2
+   tiles with 16x128 tiles) drive a two-class enumeration that keeps the
+   sort domain near the true pair count instead of T * max_tiles_per_tri:
+
+   - SMALL (span <= 2): 2 slots per triangle, enumerated for all T.
+   - MEDIUM (2 < span <= max_tiles_per_tri): compacted to a static
+     ``medium_cap`` (default T/16, >= 1024) then 8 slots each.
+   - HUGE (span > max_tiles_per_tri): a small global list that stays
+     resident in VMEM and is tested by every tile.
+
+   When T <= 65536 and n_tiles < 32768 (every production config), the
+   sort key is ONE packed int32 ``(tile << 16) | tri`` — sorting it
+   non-stably orders pairs by (tile, then draw order) exactly, replacing
+   the 2-array stable sort.  Runs are recovered with searchsorted.
 
 All shapes are static; capacities come from EngineConfig.  Overflow clamps
 and is reported via the returned ``overflow`` scalar (0 = none).
@@ -192,11 +202,16 @@ def triangle_setup(
     return TriangleSetup(tri_data=tri_data, bbox=bbox)
 
 
+def default_medium_cap(t: int) -> int:
+    """Static capacity of the compacted medium (span 3..mt) class."""
+    return max(1024, t // 16)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "tile_h", "tile_w", "n_tiles_x", "n_tiles_y",
-        "max_tiles_per_tri", "binned_cap", "global_cap",
+        "max_tiles_per_tri", "binned_cap", "global_cap", "medium_cap",
     ),
 )
 def bin_triangles(
@@ -209,12 +224,14 @@ def bin_triangles(
     max_tiles_per_tri: int = 8,
     binned_cap: int = 1 << 16,
     global_cap: int = 512,
+    medium_cap: int | None = None,
 ) -> BinnedTriangles:
-    """Compact triangles into per-tile runs via stable sort by tile id."""
+    """Compact triangles into per-tile runs via a (tile, tri) key sort."""
     tri_data, bbox = setup.tri_data, setup.bbox
     t = tri_data.shape[0]
     n_tiles = n_tiles_x * n_tiles_y
     mt = max_tiles_per_tri
+    mcap = default_medium_cap(t) if medium_cap is None else medium_cap
 
     valid = tri_data[:, COL_VALID] > 0
     nonempty = bbox[:, 0] <= bbox[:, 2]
@@ -228,28 +245,69 @@ def bin_triangles(
     span_y = ty1 - ty0 + 1
     span = span_x * span_y
 
-    is_small = live & (span <= mt)
+    is_small = live & (span <= 2)
+    is_medium = live & (span > 2) & (span <= mt)
     is_global = live & (span > mt)
+    tri_ids = jnp.arange(t, dtype=jnp.int32)
 
-    # enumerate up to mt (tile, tri) pairs per small triangle
-    slot = jnp.arange(mt, dtype=jnp.int32)[None, :]  # (1, mt)
-    sx = tx0[:, None] + slot % span_x[:, None]
-    sy = ty0[:, None] + slot // span_x[:, None]
-    tile_id = sy * n_tiles_x + sx  # (T, mt)
-    pair_ok = is_small[:, None] & (slot < span[:, None])
-    # invalid pairs get key = n_tiles so they sort to the end
-    key = jnp.where(pair_ok, tile_id, n_tiles).reshape(-1)
-    pair_tri = jnp.broadcast_to(
-        jnp.arange(t, dtype=jnp.int32)[:, None], (t, mt)
-    ).reshape(-1)
+    # SMALL: 2 slots per triangle (one of span_x/span_y is 1 when span<=2)
+    slot2 = jnp.arange(2, dtype=jnp.int32)[None, :]
+    s_tile = (
+        (ty0[:, None] + slot2 // span_x[:, None]) * n_tiles_x
+        + tx0[:, None] + slot2 % span_x[:, None]
+    )  # (T, 2)
+    s_ok = is_small[:, None] & (slot2 < span[:, None])
+    s_tri = jnp.broadcast_to(tri_ids[:, None], (t, 2))
 
-    # stable sort by tile preserves draw order within a tile
-    key_sorted, tri_sorted = jax.lax.sort((key, pair_tri), num_keys=1, is_stable=True)
-    key_sorted = key_sorted[:binned_cap]
-    tri_sorted = tri_sorted[:binned_cap]
+    # MEDIUM: compact to mcap rows (stable argsort keeps draw order),
+    # then enumerate up to mt slots each
+    morder = jnp.argsort(~is_medium, stable=True)[:mcap]  # (<=mcap,)
+    m_is = jnp.take(is_medium, morder)
+    m_tx0 = jnp.take(tx0, morder)
+    m_ty0 = jnp.take(ty0, morder)
+    m_span_x = jnp.take(span_x, morder)
+    m_span = jnp.take(span, morder)
+    slot8 = jnp.arange(mt, dtype=jnp.int32)[None, :]
+    m_tile = (
+        (m_ty0[:, None] + slot8 // m_span_x[:, None]) * n_tiles_x
+        + m_tx0[:, None] + slot8 % m_span_x[:, None]
+    )  # (mcap, mt)
+    m_ok = m_is[:, None] & (slot8 < m_span[:, None])
+    m_tri = jnp.broadcast_to(morder[:, None], m_tile.shape)
 
-    n_pairs = jnp.sum(pair_ok.astype(jnp.int32))
-    pair_overflow = jnp.maximum(n_pairs - binned_cap, 0)
+    tile_all = jnp.concatenate([s_tile.reshape(-1), m_tile.reshape(-1)])
+    ok_all = jnp.concatenate([s_ok.reshape(-1), m_ok.reshape(-1)])
+    tri_all = jnp.concatenate([s_tri.reshape(-1), m_tri.reshape(-1)])
+
+    if t <= (1 << 16) and n_tiles < (1 << 15):
+        # ONE packed int32 key: (tile << 16) | tri is unique per pair
+        # (a triangle never emits two slots in the same tile), and
+        # sorting it non-stably orders pairs by tile then draw order —
+        # exactly the stable-by-tile semantics the kernel needs.  Dead
+        # slots get n_tiles << 16, past every valid key.
+        packed = jnp.where(
+            ok_all, (tile_all << 16) | tri_all, n_tiles << 16
+        )
+        (packed_sorted,) = jax.lax.sort((packed,), num_keys=1)
+        packed_sorted = packed_sorted[:binned_cap]
+        key_sorted = packed_sorted >> 16
+        tri_sorted = packed_sorted & 0xFFFF
+    else:
+        # huge scenes/tilings: two-key sort gives the same (tile, tri)
+        # order without the 16-bit packing limits
+        key = jnp.where(ok_all, tile_all, n_tiles)
+        key_sorted, tri_sorted = jax.lax.sort(
+            (key, tri_all), num_keys=2
+        )
+        key_sorted = key_sorted[:binned_cap]
+        tri_sorted = tri_sorted[:binned_cap]
+
+    n_pairs = jnp.sum(ok_all.astype(jnp.int32))
+    # medium triangles beyond mcap lose ALL their pairs — count them
+    medium_dropped = jnp.sum(
+        jnp.where(is_medium, span, 0)
+    ) - jnp.sum(jnp.where(m_is, m_span, 0))
+    pair_overflow = jnp.maximum(n_pairs - binned_cap, 0) + medium_dropped
 
     # per-tile [start, count) via binary search over the sorted keys
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)

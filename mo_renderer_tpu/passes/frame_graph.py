@@ -385,7 +385,14 @@ class Renderer:
         if self.config.binned_cap is not None:
             self._binned_cap = _round_up(self.config.binned_cap, 8)
         else:
-            self._binned_cap = _round_up(min(max(8192, 4 * t), 1 << 20), 8)
+            # exactly the binner's enumeration bound (2 slots per
+            # triangle + 8 per compacted medium-class row): the sort is
+            # never truncated, so pair overflow can only come from the
+            # medium/global class caps
+            from ..kernels.raster_setup import default_medium_cap
+
+            cap = 2 * t + 8 * default_medium_cap(t)
+            self._binned_cap = _round_up(min(max(8192, cap), 1 << 20), 8)
         # the stacked-texture fast path samples every slot with UV set 0;
         # scenes using UV1 (rare) fall back to the reference samplers
         uses_uv1 = bool(np.asarray(self.scene.materials[:, 5:10]).any())

@@ -44,7 +44,7 @@ def main():
     r = app.renderer
     scene = r.scene
     params, _ = r.frame_params(app.world)
-    pad_w, pad_h = r._pad_w, r._pad_h
+    pad_w, pad_h = r.pad_w, r.pad_h
     binned_cap = r._binned_cap
     print(f"tris={scene.indices.shape[0]} binned_cap={binned_cap} "
           f"pad={pad_w}x{pad_h} tile={cfg.tile_h}x{cfg.tile_w}")

@@ -190,6 +190,10 @@ def main():
         ("sponza_1080p", config_sponza),
         ("multi_view_4k", config_multi_view),
     ]
+    only = os.environ.get("MO_EVAL_ONLY")  # comma-separated name filter
+    if only:
+        wanted = set(only.split(","))
+        runners = [r for r in runners if r[0] in wanted]
     for name, fn in runners:
         print(f"[eval] {name} ...", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
