@@ -62,27 +62,35 @@ class IBLMaps:
         return cls(*children)
 
 
+@jax.jit
+def _derive_jit(irr, spec):
+    """ONE compiled program for the derived-layout builds.  Eagerly,
+    the quad/merged/SH9 constructions are hundreds of small distinct-
+    shape ops — on a remote backend each pays its own compile+dispatch
+    (measured ~3 min of startup); as one jit they compile once (and
+    replay from the persistent cache)."""
+    from ..device.sampling import MipCubeQuad, MipCubeQuadMerged
+    from ..kernels.ibl import sh9_project_cube
+
+    quad = MipCubeQuad(spec)
+    return quad, MipCubeQuadMerged(quad), sh9_project_cube(irr)
+
+
 def _derive_fast_maps(env, irr, spec, lut):
     """Build the gather-minimal layouts from the base IBL maps.
 
     HDR cubes pack to RGBE uint32 quads (16-byte rows — the fast gather
-    tier).  The environment's quad rows are APPENDED to the specular mip
-    chain's table so the shading pass serves sky pixels out of the same
-    gather stream (ibl_ambient_sky_fast).
+    tier).  Specular mip 0 IS the environment (kernels/ibl
+    .specular_prefilter: roughness-0 prefilter = mirror), so sky pixels
+    read their environment sample from the mip-0 region of the same
+    table — no appended copy (duplicate rows would cost ~25MB of table,
+    and gather cost grows with table size).
     """
-    from ..device.sampling import MipCubeQuad, MipCubeQuadMerged
-    from ..kernels.ibl import sh9_project_cube
-
-    # Specular mip 0 IS the environment (kernels/ibl.specular_prefilter:
-    # roughness-0 prefilter = mirror), so sky pixels read their
-    # environment sample from the mip-0 region of the same table — no
-    # appended copy (the duplicate rows cost ~25MB of table, and gather
-    # cost grows with table size).
-    quad = MipCubeQuad(spec)
+    quad, merged, sh9 = _derive_jit(irr, spec)
     return dict(
         specular_quad=quad,
-        specular_quad_merged=MipCubeQuadMerged(quad),
-        irradiance_sh9=sh9_project_cube(irr),
+        specular_quad_merged=merged,
+        irradiance_sh9=sh9,
     )
 
 
@@ -128,6 +136,9 @@ class IBLResource:
     def ensure_computed(self) -> None:
         if self._maps is not None:
             return
+        from ..utils import enable_compile_cache
+
+        enable_compile_cache()  # chain + derive are compile-dominated cold
         cached = self._load_cache() if self.use_cache else None
         if cached is not None:
             self._maps = cached

@@ -700,6 +700,31 @@ def _sample_mipcube_quad_level(rows, sizes, offsets, level, face, u, v):
     return quad_lerp_rgbe(quad, fx, fy)
 
 
+def sample_mipcube_quad_merged_lod(mq: "MipCubeQuadMerged", dirs, lod):
+    """GLSL textureLod on the merged child+parent layout: trilinear in
+    ONE 32-byte row gather.  The parent tap's bilinear fractions derive
+    from the child anchor's parity (a constant 1/4-parent-texel shift —
+    see MipCubeQuadMerged); the last level pairs with itself, so its
+    parent fractions stay the child's."""
+    sizes = jnp.asarray(mq.sizes)
+    offsets = jnp.asarray(mq.offsets)
+    nl = mq.num_levels
+    face, u, v = cube_face_uv(dirs)
+    lod = jnp.clip(lod, 0.0, nl - 1)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    f = (lod - l0.astype(lod.dtype))[..., None]
+    idx, fx, fy, x0, y0 = mipcube_quad_index_anchor(
+        sizes, offsets, l0, face, u, v
+    )
+    rows8 = jnp.take(mq.rows, idx, axis=0)
+    c0 = quad_lerp_rgbe(rows8[..., :4], fx, fy)
+    last = l0 >= nl - 1
+    fpx = jnp.where(last, fx, ((x0 & 1).astype(fx.dtype) + fx) * 0.5)
+    fpy = jnp.where(last, fy, ((y0 & 1).astype(fy.dtype) + fy) * 0.5)
+    c1 = quad_lerp_rgbe(rows8[..., 4:], fpx, fpy)
+    return c0 * (1 - f) + c1 * f
+
+
 def sample_mipcube_quad_lod(mq: MipCubeQuad, dirs, lod):
     """GLSL textureLod on an RGBE quad-packed cubemap (2 gathers vs 8)."""
     sizes = jnp.asarray(mq.sizes)

@@ -29,7 +29,7 @@ def _cover_and_depth(row, px, py):
     a0, a1, a2 = row[0], row[1], row[2]
     b0, b1, b2 = row[3], row[4], row[5]
     c0, c1, c2 = row[6], row[7], row[8]
-    z0, z1, z2 = row[9], row[10], row[11]
+    zx, zy, zc = row[9], row[10], row[11]
     inv_area = row[12]
     tie_bits = row[13].astype(jnp.int32)
     valid = row[COL_VALID] > 0
@@ -49,8 +49,7 @@ def _cover_and_depth(row, px, py):
 
     bb0 = w0 * inv_area
     bb1 = w1 * inv_area
-    bb2 = w2 * inv_area
-    z = bb0 * z0 + bb1 * z1 + bb2 * z2
+    z = zx * px + zy * py + zc  # affine depth plane (see raster_setup)
     return cover, z, bb0, bb1
 
 

@@ -40,11 +40,15 @@ import functools
 import jax
 import jax.numpy as jnp
 
-# tri_data column layout (16 f32 per triangle, see rasterizer kernel)
+# tri_data column layout (16 f32 per triangle, see rasterizer kernel).
+# Depth is stored as an affine screen-space plane z(px, py) = ZX*px +
+# ZY*py + ZC (identical to interpolating corner depths by barycentrics,
+# but 2 fma per candidate pixel instead of 3 mul + 3 fma — the raster
+# inner loop is VPU-bound on candidate-pair x tile-area work).
 COL_A0, COL_A1, COL_A2 = 0, 1, 2
 COL_B0, COL_B1, COL_B2 = 3, 4, 5
 COL_C0, COL_C1, COL_C2 = 6, 7, 8
-COL_Z0, COL_Z1, COL_Z2 = 9, 10, 11
+COL_ZX, COL_ZY, COL_ZC = 9, 10, 11
 COL_INV_AREA = 12
 COL_TIE = 13
 COL_TRI_ID = 14
@@ -157,14 +161,19 @@ def triangle_setup(
     if cull_backface:
         valid = valid & (area2 < 0.0)
 
-    # depth bias folded into the z plane (affine in screen space)
+    # depth as an affine screen-space plane: zx*px + zy*py + zc.
+    # Identical to barycentric interpolation of the corner depths
+    # (z = sum_i w_i(p) z_i / |area|, linear in p); zx/zy ARE dz/dx,
+    # dz/dy, and a uniform corner bias is a pure zc shift because the
+    # edge functions sum to |area2| at every point.
+    zx = (a0c * z0 + a1c * z1 + a2c * z2) * inv_area
+    zy = (b0c * z0 + b1c * z1 + b2c * z2) * inv_area
+    zc = (c0c * z0 + c1c * z1 + c2c * z2) * inv_area
     if depth_bias_const != 0.0 or depth_bias_slope != 0.0:
-        dzdx = (a0c * z0 + a1c * z1 + a2c * z2) * inv_area
-        dzdy = (b0c * z0 + b1c * z1 + b2c * z2) * inv_area
-        bias = depth_bias_const * (2.0**-23) + depth_bias_slope * jnp.maximum(
-            jnp.abs(dzdx), jnp.abs(dzdy)
+        # shadow_pass.rs:132-140 polygon offset semantics
+        zc = zc + depth_bias_const * (2.0**-23) + (
+            depth_bias_slope * jnp.maximum(jnp.abs(zx), jnp.abs(zy))
         )
-        z0, z1, z2 = z0 + bias, z1 + bias, z2 + bias
 
     tie_bits = tie0 * 1.0 + tie1 * 2.0 + tie2 * 4.0
     tri_id = jnp.arange(indices.shape[0], dtype=jnp.float32)
@@ -174,7 +183,7 @@ def triangle_setup(
             a0c, a1c, a2c,
             b0c, b1c, b2c,
             c0c, c1c, c2c,
-            z0, z1, z2,
+            zx, zy, zc,
             inv_area,
             tie_bits,
             tri_id,

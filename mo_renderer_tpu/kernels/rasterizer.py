@@ -39,10 +39,11 @@ def _use_interpret() -> bool:
 def _process_rows(rows, px, py, state, depth_only: bool):
     """Rasterize SUB_K triangles (rows (K,16)) against one tile.
 
-    state = (z, tri_f, b0, b1) arrays (TH, TW); returns updated state.
-    Zeroed (inert) rows never cover any pixel: w == 0 and tie bits == 0.
+    state = (z,) when depth_only else (z, tri_f, b0, b1), arrays
+    (TH, TW); returns the updated state.  Zeroed (inert) rows never
+    cover any pixel: w == 0 and tie bits == 0.
     """
-    z_acc, tri_acc, b0_acc, b1_acc = state
+    z_acc = state[0]
     k = rows.shape[0]
 
     def col(j):
@@ -60,27 +61,26 @@ def _process_rows(rows, px, py, state, depth_only: bool):
 
     cover = accept(w0, 1) & accept(w1, 2) & accept(w2, 4)
 
-    inv_area = col(12)
-    bb0 = w0 * inv_area
-    bb1 = w1 * inv_area
-    bb2 = w2 * inv_area
-    z = bb0 * col(9) + bb1 * col(10) + bb2 * col(11)
+    # affine depth plane (raster_setup COL_ZX/ZY/ZC): 2 fma per pair
+    z = col(9) * px + col(10) * py + col(11)
 
     masked_z = jnp.where(cover & (z >= 0.0), z, jnp.inf)
     zmin = jnp.min(masked_z, axis=0)
 
+    if depth_only:
+        return (jnp.minimum(zmin, z_acc),)
+
+    tri_acc, b0_acc, b1_acc = state[1:]
     win = zmin <= z_acc
     new_z = jnp.where(win, zmin, z_acc)
-    if depth_only:
-        return (new_z, tri_acc, b0_acc, b1_acc)
-
     # later triangle wins depth ties -> highest k among the minima
     kidx = jax.lax.broadcasted_iota(jnp.int32, masked_z.shape, 0)
     winner = jnp.max(jnp.where(masked_z == zmin[None], kidx, -1), axis=0)
     onehot = (kidx == winner[None]).astype(jnp.float32)
+    inv_area = col(12)
     tri_w = jnp.sum(col(14) * onehot, axis=0)
-    b0_w = jnp.sum(bb0 * onehot, axis=0)
-    b1_w = jnp.sum(bb1 * onehot, axis=0)
+    b0_w = jnp.sum(w0 * inv_area * onehot, axis=0)
+    b1_w = jnp.sum(w1 * inv_area * onehot, axis=0)
     return (
         new_z,
         jnp.where(win, tri_w, tri_acc),
@@ -123,7 +123,8 @@ def _process_rows_attrs(rows, px, py, state, n_interp):
     bb0 = w0 * inv_area
     bb1 = w1 * inv_area
     bb2 = w2 * inv_area
-    z = bb0 * col(9) + bb1 * col(10) + bb2 * col(11)
+    # affine depth plane (raster_setup COL_ZX/ZY/ZC)
+    z = col(9) * px + col(10) * py + col(11)
 
     masked_z = jnp.where(cover & (z >= 0.0), z, jnp.inf)
     zmin = jnp.min(masked_z, axis=0)
@@ -189,17 +190,15 @@ def _make_attrs_kernel(tile_h, tile_w, n_tiles_x, global_cap, n_interp):
 
         @pl.when(gcount > 0)
         def _():
-            st = read_state()
-            for j in range(global_cap // SUB_K):
-                st = jax.lax.cond(
-                    j * SUB_K < gcount,
-                    lambda s: _process_rows_attrs(
-                        gdata_ref[j * SUB_K : (j + 1) * SUB_K, :],
-                        px, py, s, n_interp,
-                    ),
-                    lambda s: s,
-                    st,
+            def gbody(j, st):
+                return _process_rows_attrs(
+                    gdata_ref[pl.ds(j * SUB_K, SUB_K), :],
+                    px, py, st, n_interp,
                 )
+
+            st = jax.lax.fori_loop(
+                0, pl.cdiv(gcount, SUB_K), gbody, read_state()
+            )
             write_state(st)
 
         start = runs_ref[0, i]
@@ -320,9 +319,10 @@ def _make_kernel(tile_h, tile_w, n_tiles_x, global_cap, depth_only):
         gcount_ref,  # SMEM (1, 1)
         gdata_ref,  # VMEM (G, 16)
         hbm_ref,  # ANY/HBM (P+K, 16)
-        z_ref, tri_ref, b0_ref, b1_ref,  # VMEM out blocks (TH, TW)
-        buf, sem,  # scratch: (2, K, 16) VMEM + 2 DMA sems
+        *refs,  # out blocks (TH, TW): z[, tri, b0, b1]; then buf, sem
     ):
+        out_refs = refs[:-2]
+        buf, sem = refs[-2], refs[-1]
         i = pl.program_id(0)
         ty = i // n_tiles_x + roff_ref[0, 0]
         tx = i % n_tiles_x
@@ -334,36 +334,36 @@ def _make_kernel(tile_h, tile_w, n_tiles_x, global_cap, depth_only):
         px = ox + 0.5 + ix.astype(jnp.float32)
 
         def read_state():
-            return (z_ref[:], tri_ref[:], b0_ref[:], b1_ref[:])
+            return tuple(r[:] for r in out_refs)
 
         def write_state(st):
-            z_ref[:] = st[0]
-            tri_ref[:] = st[1]
-            b0_ref[:] = st[2]
-            b1_ref[:] = st[3]
+            for r, s in zip(out_refs, st):
+                r[:] = s
 
-        # clear
-        z_ref[:] = jnp.full((tile_h, tile_w), FAR_DEPTH, jnp.float32)
-        tri_ref[:] = jnp.full((tile_h, tile_w), -1.0, jnp.float32)
-        b0_ref[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
-        b1_ref[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
+        # clear (depth-only keeps a single z plane)
+        out_refs[0][:] = jnp.full((tile_h, tile_w), FAR_DEPTH, jnp.float32)
+        if not depth_only:
+            out_refs[1][:] = jnp.full((tile_h, tile_w), -1.0, jnp.float32)
+            out_refs[2][:] = jnp.zeros((tile_h, tile_w), jnp.float32)
+            out_refs[3][:] = jnp.zeros((tile_h, tile_w), jnp.float32)
 
         # --- global (huge-triangle) list, VMEM resident -----------------
         gcount = gcount_ref[0, 0]
 
         @pl.when(gcount > 0)
         def _():
-            st = read_state()
-            for j in range(global_cap // SUB_K):
-                # inert rows are zeroed; no masking needed beyond count skip
-                st = jax.lax.cond(
-                    j * SUB_K < gcount,
-                    lambda s: _process_rows(
-                        gdata_ref[j * SUB_K : (j + 1) * SUB_K, :], px, py, s, depth_only
-                    ),
-                    lambda s: s,
-                    st,
+            # dynamic trip count (not a static global_cap//K unroll of
+            # lax.conds: Mosaic branch overhead scales with the unroll,
+            # and gcount is usually a handful of batches)
+            def gbody(j, st):
+                return _process_rows(
+                    gdata_ref[pl.ds(j * SUB_K, SUB_K), :],
+                    px, py, st, depth_only,
                 )
+
+            st = jax.lax.fori_loop(
+                0, pl.cdiv(gcount, SUB_K), gbody, read_state()
+            )
             write_state(st)
 
         # --- per-tile run with double-buffered DMA ----------------------
@@ -458,11 +458,10 @@ def rasterize(
         tile_h, tile_w, n_tiles_x, binned.global_data.shape[0], depth_only
     )
 
+    n_out = 1 if depth_only else 4
     out_shape = [
-        jax.ShapeDtypeStruct((height, width), jnp.float32),  # z
-        jax.ShapeDtypeStruct((height, width), jnp.float32),  # tri (as f32)
-        jax.ShapeDtypeStruct((height, width), jnp.float32),  # b0
-        jax.ShapeDtypeStruct((height, width), jnp.float32),  # b1
+        jax.ShapeDtypeStruct((height, width), jnp.float32)
+        for _ in range(n_out)
     ]
     tile_spec = pl.BlockSpec(
         (tile_h, tile_w),
@@ -470,7 +469,7 @@ def rasterize(
         memory_space=pltpu.VMEM,
     )
 
-    z, tri_f, b0, b1 = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
@@ -482,7 +481,7 @@ def rasterize(
             ),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[tile_spec, tile_spec, tile_spec, tile_spec],
+        out_specs=[tile_spec] * n_out,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, SUB_K, 128), jnp.float32),
@@ -496,6 +495,10 @@ def rasterize(
         global_data,
         hbm_data,
     )
+    if depth_only:
+        # single z plane; callers unpack (_, z, _, _)
+        return None, outs[0], None, None
+    z, tri_f, b0, b1 = outs
     tri = jnp.round(tri_f).astype(jnp.int32)
     tri = jnp.where(z < FAR_DEPTH, tri, -1)
     return tri, z, b0, b1

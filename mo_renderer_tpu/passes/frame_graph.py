@@ -333,26 +333,9 @@ def frame_program(
     return rgba
 
 
-def enable_compile_cache() -> None:
-    """Point jax's persistent compilation cache at the engine's side-car
-    cache dir ($MO_CACHE_DIR, shared with the IBL cache): the multi-minute
-    first TPU compile of a frame config replays from disk on later runs.
-    Idempotent; a no-op if the user already configured a cache dir."""
-    import os
-
-    if jax.config.jax_compilation_cache_dir:
-        return
-    cache_dir = os.environ.get(
-        "MO_CACHE_DIR", os.path.join(os.path.expanduser("~"), ".mo_cache")
-    )
-    try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update(
-            "jax_compilation_cache_dir", os.path.join(cache_dir, "xla")
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception as e:  # cache is an optimization, never fatal
-        logger.info("compilation cache disabled: %s", e)
+# moved to utils (shared with IBLResource.ensure_computed); re-exported
+# here for compatibility
+from ..utils import enable_compile_cache  # noqa: E402
 
 
 class Renderer:
