@@ -268,8 +268,10 @@ def bin_triangles(
     s_ok = is_small[:, None] & (slot2 < span[:, None])
     s_tri = jnp.broadcast_to(tri_ids[:, None], (t, 2))
 
-    # MEDIUM: compact to mcap rows (stable argsort keeps draw order),
-    # then enumerate up to mt slots each
+    # MEDIUM: compact to mcap rows (stable argsort; a cumsum+scatter
+    # compaction measured marginally SLOWER in-frame — sponza 33.7 ->
+    # 33.0 fps — scatter is no cheaper than sort on this backend), then
+    # enumerate up to mt slots each
     morder = jnp.argsort(~is_medium, stable=True)[:mcap]  # (<=mcap,)
     m_is = jnp.take(is_medium, morder)
     m_tx0 = jnp.take(tx0, morder)

@@ -29,7 +29,14 @@ from jax.experimental.pallas import tpu as pltpu
 from .raster_setup import BinnedTriangles
 
 FAR_DEPTH = 1.0
-SUB_K = 8  # triangles processed per inner step
+# Triangles per inner step, per kernel mode.  8/8 is the measured
+# optimum END TO END: standalone, SUB_K=16 looked better for the
+# 4-output visibility kernel (gbuffer 4.25 -> 3.78ms) and worse for the
+# slim depth-only kernel (shadow 4.82 -> 5.02ms), but in-frame 16/8
+# regressed sponza 33.7 -> 33.3 fps — the bigger batches lose to DMA
+# buffering inside the fused frame, so both stay at 8.
+SUB_K = 8
+SUB_K_DEPTH = 8
 
 
 def _use_interpret() -> bool:
@@ -313,6 +320,7 @@ def rasterize_attrs(
 
 
 def _make_kernel(tile_h, tile_w, n_tiles_x, global_cap, depth_only):
+    sub_k = SUB_K_DEPTH if depth_only else SUB_K
     def kernel(
         runs_ref,  # SMEM (2, n_tiles): rows [starts; counts], resident
         roff_ref,  # SMEM (1, 1): tile-row offset of this band
@@ -357,23 +365,23 @@ def _make_kernel(tile_h, tile_w, n_tiles_x, global_cap, depth_only):
             # and gcount is usually a handful of batches)
             def gbody(j, st):
                 return _process_rows(
-                    gdata_ref[pl.ds(j * SUB_K, SUB_K), :],
+                    gdata_ref[pl.ds(j * sub_k, sub_k), :],
                     px, py, st, depth_only,
                 )
 
             st = jax.lax.fori_loop(
-                0, pl.cdiv(gcount, SUB_K), gbody, read_state()
+                0, pl.cdiv(gcount, sub_k), gbody, read_state()
             )
             write_state(st)
 
         # --- per-tile run with double-buffered DMA ----------------------
         start = runs_ref[0, i]
         count = runs_ref[1, i]
-        nb = pl.cdiv(count, SUB_K)
+        nb = pl.cdiv(count, sub_k)
 
         def get_dma(slot, j):
             return pltpu.make_async_copy(
-                hbm_ref.at[pl.ds(start + j * SUB_K, SUB_K), :],
+                hbm_ref.at[pl.ds(start + j * sub_k, sub_k), :],
                 buf.at[slot],
                 sem.at[slot],
             )
@@ -435,8 +443,9 @@ def rasterize(
     def pad_rows(d):
         return jnp.pad(d, ((0, 0), (0, 128 - d.shape[1])))
 
+    sub_k = SUB_K_DEPTH if depth_only else SUB_K
     hbm_data = jnp.concatenate(
-        [pad_rows(binned.binned_data), jnp.zeros((SUB_K, 128), jnp.float32)],
+        [pad_rows(binned.binned_data), jnp.zeros((sub_k, 128), jnp.float32)],
         axis=0,
     )
     global_data = pad_rows(binned.global_data)
@@ -484,7 +493,7 @@ def rasterize(
         out_specs=[tile_spec] * n_out,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, SUB_K, 128), jnp.float32),
+            pltpu.VMEM((2, sub_k, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_use_interpret(),

@@ -293,8 +293,11 @@ def _texture_and_assemble(
         y0 = jnp.floor(y)
         fx = x - x0
         fy = y - y0
-        x0i = jnp.mod(x0.astype(jnp.int32), se_i)
-        y0i = jnp.mod(y0.astype(jnp.int32), se_i)
+        # REPEAT wrap: stack sizes are powers of two by construction
+        # (scene_buffers pads every slot to pow2), so mod is a bitwise
+        # AND — integer division is expensive per pixel on the VPU
+        x0i = x0.astype(jnp.int32) & (se_i - 1)
+        y0i = y0.astype(jnp.int32) & (se_i - 1)
         idx = base + y0i * se_i + x0i
         groups = [scene.texture_stack_a]
         if n_sampled > 2:
