@@ -20,8 +20,11 @@ depth).  On TPU we re-derive the same semantics as data-parallel math:
    - SMALL (span <= 2): 2 slots per triangle, enumerated for all T.
    - MEDIUM (2 < span <= max_tiles_per_tri): compacted to a static
      ``medium_cap`` (default T/16, >= 1024) then 8 slots each.
-   - HUGE (span > max_tiles_per_tri): a small global list that stays
-     resident in VMEM and is tested by every tile.
+   - LARGE (mt < span <= 32): compacted to ``default_large_cap`` rows
+     then 32 slots each — still sorted per-tile runs, NOT global.
+   - HUGE (span > 32): a small global list that stays resident in VMEM
+     and is tested by every tile (sky/floor-scale triangles only — a
+     global triangle costs n_tiles effective pairs).
 
    When T <= 65536 and n_tiles < 32768 (every production config), the
    sort key is ONE packed int32 ``(tile << 16) | tri`` — sorting it
@@ -216,6 +219,20 @@ def default_medium_cap(t: int) -> int:
     return max(1024, t // 16)
 
 
+LARGE_SPAN = 32  # large class: mt < span <= LARGE_SPAN tiles
+
+
+def default_large_cap(t: int) -> int:
+    """Static capacity of the compacted large (span mt+1..32) class.
+
+    Keeping these in the sorted per-tile runs instead of the global list
+    matters far more than their count suggests: a global triangle is
+    re-tested by EVERY tile (sponza: 29 globals x 1020 tiles ~= 29.6K
+    effective pairs — 2.3x the scene's real binned pairs), while a large
+    triangle emits at most 32 real pairs."""
+    return max(256, t // 128)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -256,7 +273,8 @@ def bin_triangles(
 
     is_small = live & (span <= 2)
     is_medium = live & (span > 2) & (span <= mt)
-    is_global = live & (span > mt)
+    is_large = live & (span > mt) & (span <= LARGE_SPAN)
+    is_global = live & (span > LARGE_SPAN)
     tri_ids = jnp.arange(t, dtype=jnp.int32)
 
     # SMALL: 2 slots per triangle (one of span_x/span_y is 1 when span<=2)
@@ -286,9 +304,32 @@ def bin_triangles(
     m_ok = m_is[:, None] & (slot8 < m_span[:, None])
     m_tri = jnp.broadcast_to(morder[:, None], m_tile.shape)
 
-    tile_all = jnp.concatenate([s_tile.reshape(-1), m_tile.reshape(-1)])
-    ok_all = jnp.concatenate([s_ok.reshape(-1), m_ok.reshape(-1)])
-    tri_all = jnp.concatenate([s_tri.reshape(-1), m_tri.reshape(-1)])
+    # LARGE (span mt+1..32): same compaction with 32 slots each — see
+    # default_large_cap for why these must NOT fall to the global list
+    lcap = default_large_cap(t)
+    lorder = jnp.argsort(~is_large, stable=True)[:lcap]
+    l_is = jnp.take(is_large, lorder)
+    l_tx0 = jnp.take(tx0, lorder)
+    l_ty0 = jnp.take(ty0, lorder)
+    l_span_x = jnp.take(span_x, lorder)
+    l_span = jnp.take(span, lorder)
+    slot32 = jnp.arange(LARGE_SPAN, dtype=jnp.int32)[None, :]
+    l_tile = (
+        (l_ty0[:, None] + slot32 // l_span_x[:, None]) * n_tiles_x
+        + l_tx0[:, None] + slot32 % l_span_x[:, None]
+    )  # (lcap, 32)
+    l_ok = l_is[:, None] & (slot32 < l_span[:, None])
+    l_tri = jnp.broadcast_to(lorder[:, None], l_tile.shape)
+
+    tile_all = jnp.concatenate(
+        [s_tile.reshape(-1), m_tile.reshape(-1), l_tile.reshape(-1)]
+    )
+    ok_all = jnp.concatenate(
+        [s_ok.reshape(-1), m_ok.reshape(-1), l_ok.reshape(-1)]
+    )
+    tri_all = jnp.concatenate(
+        [s_tri.reshape(-1), m_tri.reshape(-1), l_tri.reshape(-1)]
+    )
 
     if t <= (1 << 16) and n_tiles < (1 << 15):
         # ONE packed int32 key: (tile << 16) | tri is unique per pair
@@ -314,11 +355,16 @@ def bin_triangles(
         tri_sorted = tri_sorted[:binned_cap]
 
     n_pairs = jnp.sum(ok_all.astype(jnp.int32))
-    # medium triangles beyond mcap lose ALL their pairs — count them
+    # medium/large triangles beyond their caps lose ALL their pairs
     medium_dropped = jnp.sum(
         jnp.where(is_medium, span, 0)
     ) - jnp.sum(jnp.where(m_is, m_span, 0))
-    pair_overflow = jnp.maximum(n_pairs - binned_cap, 0) + medium_dropped
+    large_dropped = jnp.sum(
+        jnp.where(is_large, span, 0)
+    ) - jnp.sum(jnp.where(l_is, l_span, 0))
+    pair_overflow = (
+        jnp.maximum(n_pairs - binned_cap, 0) + medium_dropped + large_dropped
+    )
 
     # per-tile [start, count) via binary search over the sorted keys
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)

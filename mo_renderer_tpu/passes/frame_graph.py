@@ -369,12 +369,20 @@ class Renderer:
             self._binned_cap = _round_up(self.config.binned_cap, 8)
         else:
             # exactly the binner's enumeration bound (2 slots per
-            # triangle + 8 per compacted medium-class row): the sort is
-            # never truncated, so pair overflow can only come from the
-            # medium/global class caps
-            from ..kernels.raster_setup import default_medium_cap
+            # triangle + 8/32 per compacted medium/large-class row):
+            # the sort is never truncated, so pair overflow can only
+            # come from the medium/large/global class caps
+            from ..kernels.raster_setup import (
+                LARGE_SPAN,
+                default_large_cap,
+                default_medium_cap,
+            )
 
-            cap = 2 * t + 8 * default_medium_cap(t)
+            cap = (
+                2 * t
+                + 8 * default_medium_cap(t)
+                + LARGE_SPAN * default_large_cap(t)
+            )
             self._binned_cap = _round_up(min(max(8192, cap), 1 << 20), 8)
         # the stacked-texture fast path samples every slot with UV set 0;
         # scenes using UV1 (rare) fall back to the reference samplers

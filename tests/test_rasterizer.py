@@ -147,17 +147,50 @@ def test_random_soup_pallas_matches_oracle():
     )
 
 
-def test_huge_triangle_global_list():
-    """A screen-covering triangle must route through the global list."""
+def test_screen_covering_triangle_routes_large_not_global():
+    """A triangle covering this screen's 8 tiles (<= LARGE_SPAN) stays in
+    the sorted per-tile runs — the global list is reserved for span > 32
+    (a global triangle costs n_tiles effective pairs in the kernel)."""
     clip = clip_from_screen(
         [[-10, -10], [3 * W, -10], [-10, 3 * H]], [0.3] * 3
     )
     (tri_p, z_p, _, _), (tri_r, z_r, _, _), binned = run_both(
         clip, [[0, 1, 2]], mt=2, gcap=64
     )
-    assert int(binned.global_count) == 1
+    assert int(binned.global_count) == 0
+    # every tile got exactly one run entry for it
+    assert np.asarray(binned.tile_count).sum() == (W // 128) * (H // 16)
     np.testing.assert_array_equal(np.asarray(tri_p), np.asarray(tri_r))
     assert np.all(np.asarray(tri_r) == 0)  # full coverage
+    np.testing.assert_allclose(np.asarray(z_p), 0.3, atol=1e-6)
+
+
+def test_huge_triangle_global_list():
+    """span > LARGE_SPAN (32 tiles) routes through the global list and
+    still rasterizes identically to the oracle."""
+    w, h = 1920, 48  # 15 x 3 = 45 tiles at (16, 128)
+    pts = np.asarray(
+        [[-10, -10], [3 * w, -10], [-10, 3 * h]], np.float32
+    )
+    ndc = np.stack(
+        [pts[:, 0] / w * 2 - 1, pts[:, 1] / h * 2 - 1,
+         np.full(3, 0.3, np.float32), np.ones(3, np.float32)],
+        axis=-1,
+    )
+    setup = triangle_setup(
+        jnp.asarray(ndc), jnp.asarray([[0, 1, 2]], jnp.int32),
+        jnp.ones(1, bool), w, h, cull_backface=False,
+    )
+    binned = bin_triangles(
+        setup, tile_h=16, tile_w=128, n_tiles_x=15, n_tiles_y=3,
+        max_tiles_per_tri=8, binned_cap=2048, global_cap=64,
+    )
+    assert int(binned.global_count) == 1
+    assert np.asarray(binned.tile_count).sum() == 0
+    tri_p, z_p, _, _ = rasterize(binned, width=w, height=h)
+    tri_r, z_r, _, _ = rasterize_reference(setup, w, h)
+    np.testing.assert_array_equal(np.asarray(tri_p), np.asarray(tri_r))
+    assert np.all(np.asarray(tri_r) == 0)
     np.testing.assert_allclose(np.asarray(z_p), 0.3, atol=1e-6)
 
 
