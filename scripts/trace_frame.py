@@ -74,9 +74,15 @@ def report(n_frames: int = 5, top: int = 30):
                 total += e.get("dur", 0)
                 continue
             by[n] += e.get("dur", 0)
-            s = e.get("args", {}).get("source", "")
+            args = e.get("args", {})
+            s = args.get("source", "")
             if s:
                 src[n] = s.split("/")[-1]
+            elif args.get("tf_op"):
+                # ops without source metadata (sorts, copies) usually
+                # still carry the op-name path (jax.named_scope shows
+                # up here) — keep its tail for attribution
+                src[n] = args["tf_op"].split("/")[-1][:44]
     print(f"frame total: {total / (n_frames * 1e3):.1f} ms")
     for name, dur in by.most_common(top):
         print(f"{dur / (n_frames * 1e3):7.2f}  {name[:28]:28s} "

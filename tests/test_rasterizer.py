@@ -222,3 +222,46 @@ def test_behind_camera_culled():
     )
     t, _, _, _ = rasterize_reference(setup, W, H)
     assert np.all(np.asarray(t) == -1)
+
+
+def test_binning_fallback_two_key_sort_matches_packed():
+    """T > 65536 disables the packed (tile<<16)|tri key; the two-key
+    fallback sort must produce identical runs/rasterization.  Compare a
+    small soup binned normally against the SAME soup padded with 70K
+    invalid triangles (forcing the fallback path)."""
+    rng = np.random.default_rng(3)
+    n = 40
+    pts = rng.uniform([0, 0], [W, H], size=(3 * n, 2))
+    z = rng.uniform(0.1, 0.9, size=3 * n)
+    clip_small = clip_from_screen(pts, z)
+    idx_small = np.arange(3 * n).reshape(n, 3)
+
+    big_t = (1 << 16) + 8
+    clip_big = clip_small
+    idx_big = np.zeros((big_t, 3), np.int64)
+    idx_big[:n] = idx_small
+    valid_big = np.zeros(big_t, bool)
+    valid_big[:n] = True
+
+    s_small = triangle_setup(
+        jnp.asarray(clip_small), jnp.asarray(idx_small, jnp.int32),
+        jnp.ones(n, bool), W, H, cull_backface=False,
+    )
+    s_big = triangle_setup(
+        jnp.asarray(clip_big), jnp.asarray(idx_big, jnp.int32),
+        jnp.asarray(valid_big), W, H, cull_backface=False,
+    )
+    kw = dict(
+        tile_h=16, tile_w=128, n_tiles_x=W // 128, n_tiles_y=H // 16,
+        max_tiles_per_tri=8, binned_cap=4096, global_cap=64,
+    )
+    b_small = bin_triangles(s_small, **kw)
+    b_big = bin_triangles(s_big, **kw)
+    assert int(b_small.overflow) == 0 and int(b_big.overflow) == 0
+    np.testing.assert_array_equal(
+        np.asarray(b_small.tile_count), np.asarray(b_big.tile_count)
+    )
+    tri_s, z_s, _, _ = rasterize(b_small, width=W, height=H)
+    tri_b, z_b, _, _ = rasterize(b_big, width=W, height=H)
+    np.testing.assert_array_equal(np.asarray(tri_s), np.asarray(tri_b))
+    np.testing.assert_array_equal(np.asarray(z_s), np.asarray(z_b))
