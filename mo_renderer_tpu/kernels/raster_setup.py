@@ -277,49 +277,63 @@ def bin_triangles(
     is_global = live & (span > LARGE_SPAN)
     tri_ids = jnp.arange(t, dtype=jnp.int32)
 
-    # SMALL: 2 slots per triangle (one of span_x/span_y is 1 when span<=2)
+    # SMALL: 2 slots per triangle.  span <= 2 means the tile footprint is
+    # 1x1, 1x2 or 2x1, so slot 1 is one step right (span_x == 2) or one
+    # step down — no integer div/mod (expensive VPU expansions).
     slot2 = jnp.arange(2, dtype=jnp.int32)[None, :]
-    s_tile = (
-        (ty0[:, None] + slot2 // span_x[:, None]) * n_tiles_x
-        + tx0[:, None] + slot2 % span_x[:, None]
-    )  # (T, 2)
+    s_base = ty0 * n_tiles_x + tx0
+    s_step = jnp.where(span_x == 2, 1, n_tiles_x)
+    s_tile = s_base[:, None] + slot2 * s_step[:, None]  # (T, 2)
     s_ok = is_small[:, None] & (slot2 < span[:, None])
     s_tri = jnp.broadcast_to(tri_ids[:, None], (t, 2))
 
-    # MEDIUM: compact to mcap rows (stable argsort; a cumsum+scatter
-    # compaction measured marginally SLOWER in-frame — sponza 33.7 ->
-    # 33.0 fps — scatter is no cheaper than sort on this backend), then
-    # enumerate up to mt slots each
-    morder = jnp.argsort(~is_medium, stable=True)[:mcap]  # (<=mcap,)
-    m_is = jnp.take(is_medium, morder)
-    m_tx0 = jnp.take(tx0, morder)
-    m_ty0 = jnp.take(ty0, morder)
-    m_span_x = jnp.take(span_x, morder)
-    m_span = jnp.take(span, morder)
-    slot8 = jnp.arange(mt, dtype=jnp.int32)[None, :]
-    m_tile = (
-        (m_ty0[:, None] + slot8 // m_span_x[:, None]) * n_tiles_x
-        + m_tx0[:, None] + slot8 % m_span_x[:, None]
-    )  # (mcap, mt)
-    m_ok = m_is[:, None] & (slot8 < m_span[:, None])
-    m_tri = jnp.broadcast_to(morder[:, None], m_tile.shape)
+    # Compaction of the medium/large/global classes: ONE stable argsort
+    # on a class key (0 medium, 1 large, 2 global, 3 rest) replaces the
+    # three per-class argsorts — each sort of T keys costs ~0.15ms mostly
+    # in fixed overhead, so folding them is a straight win.  The windows
+    # are recovered with dynamic slices at the (traced) class boundaries;
+    # lax.dynamic_slice clamps the start so each window always covers its
+    # whole class (membership is re-checked via the m_is/l_is/g_is masks).
+    # (A cumsum+scatter compaction measured marginally SLOWER in-frame —
+    # sponza 33.7 -> 33.0 fps — scatter is no cheaper than sort here.)
+    class_key = jnp.where(
+        is_medium, 0, jnp.where(is_large, 1, jnp.where(is_global, 2, 3))
+    ).astype(jnp.int32)
+    order = jnp.argsort(class_key, stable=True)
+    n_med = jnp.sum(is_medium.astype(jnp.int32))
+    n_lg = jnp.sum(is_large.astype(jnp.int32))
 
-    # LARGE (span mt+1..32): same compaction with 32 slots each — see
-    # default_large_cap for why these must NOT fall to the global list
-    lcap = default_large_cap(t)
-    lorder = jnp.argsort(~is_large, stable=True)[:lcap]
-    l_is = jnp.take(is_large, lorder)
-    l_tx0 = jnp.take(tx0, lorder)
-    l_ty0 = jnp.take(ty0, lorder)
-    l_span_x = jnp.take(span_x, lorder)
-    l_span = jnp.take(span, lorder)
-    slot32 = jnp.arange(LARGE_SPAN, dtype=jnp.int32)[None, :]
-    l_tile = (
-        (l_ty0[:, None] + slot32 // l_span_x[:, None]) * n_tiles_x
-        + l_tx0[:, None] + slot32 % l_span_x[:, None]
-    )  # (lcap, 32)
-    l_ok = l_is[:, None] & (slot32 < l_span[:, None])
-    l_tri = jnp.broadcast_to(lorder[:, None], l_tile.shape)
+    def slot_div(slot, sx):
+        # slot // sx and slot % sx via an f32 reciprocal: exact for
+        # slot < 64, sx <= 32 (error <= 2 ulp << the 1e-4 nudge; true
+        # non-integer quotients are >= 1/32 from the next integer)
+        q = jnp.floor(
+            slot.astype(jnp.float32) * (1.0 / sx.astype(jnp.float32)) + 1e-4
+        ).astype(jnp.int32)
+        return q, slot - q * sx
+
+    def enum_class(corder, is_class, n_slots):
+        c_is = jnp.take(is_class, corder)
+        c_tx0 = jnp.take(tx0, corder)
+        c_ty0 = jnp.take(ty0, corder)
+        c_span_x = jnp.take(span_x, corder)
+        c_span = jnp.take(span, corder)
+        slots = jnp.arange(n_slots, dtype=jnp.int32)[None, :]
+        dy, dx = slot_div(slots, c_span_x[:, None])
+        c_tile = (c_ty0[:, None] + dy) * n_tiles_x + c_tx0[:, None] + dx
+        c_ok = c_is[:, None] & (slots < c_span[:, None])
+        c_tri = jnp.broadcast_to(corder[:, None], c_tile.shape)
+        return c_is, c_span, c_tile, c_ok, c_tri
+
+    # MEDIUM (span 3..mt): first n_med rows of the class order
+    morder = order[: min(mcap, t)]
+    m_is, m_span, m_tile, m_ok, m_tri = enum_class(morder, is_medium, mt)
+
+    # LARGE (span mt+1..32): next n_lg rows — see default_large_cap for
+    # why these must NOT fall to the global list
+    lcap = min(default_large_cap(t), t)
+    lorder = jax.lax.dynamic_slice_in_dim(order, n_med, lcap)
+    l_is, l_span, l_tile, l_ok, l_tri = enum_class(lorder, is_large, LARGE_SPAN)
 
     tile_all = jnp.concatenate(
         [s_tile.reshape(-1), m_tile.reshape(-1), l_tile.reshape(-1)]
@@ -331,14 +345,17 @@ def bin_triangles(
         [s_tri.reshape(-1), m_tri.reshape(-1), l_tri.reshape(-1)]
     )
 
-    if t <= (1 << 16) and n_tiles < (1 << 15):
+    # Dead slots sort past every valid key AND carry the sentinel
+    # triangle index t, which maps to an all-zero (inert — w == 0, tie
+    # bits == 0) row appended to tri_data below: the take needs no
+    # (binned_cap, C) validity mask afterwards.
+    if t < (1 << 16) and n_tiles < (1 << 15):
         # ONE packed int32 key: (tile << 16) | tri is unique per pair
         # (a triangle never emits two slots in the same tile), and
         # sorting it non-stably orders pairs by tile then draw order —
-        # exactly the stable-by-tile semantics the kernel needs.  Dead
-        # slots get n_tiles << 16, past every valid key.
+        # exactly the stable-by-tile semantics the kernel needs.
         packed = jnp.where(
-            ok_all, (tile_all << 16) | tri_all, n_tiles << 16
+            ok_all, (tile_all << 16) | tri_all, (n_tiles << 16) | t
         )
         (packed_sorted,) = jax.lax.sort((packed,), num_keys=1)
         packed_sorted = packed_sorted[:binned_cap]
@@ -349,7 +366,7 @@ def bin_triangles(
         # order without the 16-bit packing limits
         key = jnp.where(ok_all, tile_all, n_tiles)
         key_sorted, tri_sorted = jax.lax.sort(
-            (key, tri_all), num_keys=2
+            (key, jnp.where(ok_all, tri_all, t)), num_keys=2
         )
         key_sorted = key_sorted[:binned_cap]
         tri_sorted = tri_sorted[:binned_cap]
@@ -366,21 +383,25 @@ def bin_triangles(
         jnp.maximum(n_pairs - binned_cap, 0) + medium_dropped + large_dropped
     )
 
-    # per-tile [start, count) via binary search over the sorted keys
+    # per-tile [start, count) from ONE binary search: keys are integers,
+    # so start[k] = #keys < k = end[k-1] (a second side="left" search
+    # costs ~0.7ms/frame across both raster passes for nothing)
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(key_sorted, tile_ids, side="left").astype(jnp.int32)
     tile_end = jnp.searchsorted(key_sorted, tile_ids, side="right").astype(jnp.int32)
+    tile_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), tile_end[:-1]]
+    )
     tile_count = tile_end - tile_start
 
-    binned_data = jnp.take(tri_data, tri_sorted, axis=0)
-    # pairs past the valid range must be inert in the kernel
-    binned_data = jnp.where(
-        (key_sorted < n_tiles)[:, None], binned_data, 0.0
+    # sentinel row t is all-zero => dead pairs are inert in the kernel
+    tri_data_pad = jnp.concatenate(
+        [tri_data, jnp.zeros((1, tri_data.shape[1]), jnp.float32)], axis=0
     )
+    binned_data = jnp.take(tri_data_pad, tri_sorted, axis=0)
 
-    # global list: compact huge triangles to the front, pad to global_cap
-    g_order = jnp.argsort(~is_global, stable=True)  # True (global) first
-    g_take = g_order[:global_cap]
+    # global list: huge triangles, windowed out of the same class order
+    gcap = min(global_cap, t)
+    g_take = jax.lax.dynamic_slice_in_dim(order, n_med + n_lg, gcap)
     global_data = jnp.take(tri_data, g_take, axis=0)
     g_is = jnp.take(is_global, g_take)
     global_data = jnp.where(g_is[:, None], global_data, 0.0)

@@ -43,6 +43,43 @@ def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _process_rows_slim(rows, px, py, state):
+    """Visibility-only rasterization of SUB_K triangles: state (z, tri_f).
+
+    The lean inner loop for the fast path (b0/b1 are recomputed in the
+    G-buffer pass from the packed world-space corners, so the kernel
+    keeps no barycentric accumulators): a select-chain over k replaces
+    the min-reduce + iota/one-hot winner arbitration (~25 vs ~40 VPU ops
+    per candidate row per pixel), and the top-left tie test is 3 ops per
+    edge via per-triangle scalars t_i in {0.0, NaN}:
+    (w > 0) | (w == t_i)  —  w == NaN is always false, w == 0.0 accepts
+    exact-on-edge pixels for top/left edges only (identical semantics to
+    _process_rows; -0.0 == 0.0 matches its w == 0 test too).
+    Ascending-k chaining with `zin <= acc` reproduces later-draw-wins.
+    """
+    z_acc, tri_acc = state
+    k = rows.shape[0]
+    for i in range(k):
+        tb = rows[i, 13].astype(jnp.int32)
+
+        def tie(bit):
+            return jnp.where((tb & bit) > 0, 0.0, jnp.nan)
+
+        w0 = rows[i, 0] * px + rows[i, 3] * py + rows[i, 6]
+        w1 = rows[i, 1] * px + rows[i, 4] * py + rows[i, 7]
+        w2 = rows[i, 2] * px + rows[i, 5] * py + rows[i, 8]
+        a0 = (w0 > 0) | (w0 == tie(1))
+        a1 = (w1 > 0) | (w1 == tie(2))
+        a2 = (w2 > 0) | (w2 == tie(4))
+        z = rows[i, 9] * px + rows[i, 10] * py + rows[i, 11]
+        cover = a0 & a1 & a2 & (z >= 0.0)
+        zin = jnp.where(cover, z, jnp.inf)
+        better = zin <= z_acc
+        z_acc = jnp.where(better, zin, z_acc)
+        tri_acc = jnp.where(better, rows[i, 14], tri_acc)
+    return z_acc, tri_acc
+
+
 def _process_rows(rows, px, py, state, depth_only: bool):
     """Rasterize SUB_K triangles (rows (K,16)) against one tile.
 
@@ -63,8 +100,11 @@ def _process_rows(rows, px, py, state, depth_only: bool):
     tie_bits = rows[:, 13].astype(jnp.int32).reshape(k, 1, 1)
 
     def accept(w, bit):
-        tie = (tie_bits & bit) > 0
-        return (w > 0) | (tie & (w == 0))
+        # per-triangle scalar in {0.0, NaN}: w == NaN never accepts,
+        # w == 0.0 accepts exact ties on top/left edges (one vreg op
+        # fewer per edge than the (tie & (w == 0)) form)
+        t = jnp.where((tie_bits & bit) > 0, 0.0, jnp.nan)
+        return (w > 0) | (w == t)
 
     cover = accept(w0, 1) & accept(w1, 2) & accept(w2, 4)
 
@@ -319,8 +359,18 @@ def rasterize_attrs(
     return tri, z, tuple(outs[2 : 2 + n_interp]), outs[-2], outs[-1]
 
 
-def _make_kernel(tile_h, tile_w, n_tiles_x, global_cap, depth_only):
+def _make_kernel(tile_h, tile_w, n_tiles_x, global_cap, mode, n_tiles):
+    # mode: "full" -> (z, tri, b0, b1); "slim" -> (z, tri); "depth" -> (z,)
+    depth_only = mode == "depth"
     sub_k = SUB_K_DEPTH if depth_only else SUB_K
+
+    if mode == "slim":
+        def process(rows, px, py, st):
+            return _process_rows_slim(rows, px, py, st)
+    else:
+        def process(rows, px, py, st):
+            return _process_rows(rows, px, py, st, depth_only)
+
     def kernel(
         runs_ref,  # SMEM (2, n_tiles): rows [starts; counts], resident
         roff_ref,  # SMEM (1, 1): tile-row offset of this band
@@ -350,8 +400,9 @@ def _make_kernel(tile_h, tile_w, n_tiles_x, global_cap, depth_only):
 
         # clear (depth-only keeps a single z plane)
         out_refs[0][:] = jnp.full((tile_h, tile_w), FAR_DEPTH, jnp.float32)
-        if not depth_only:
+        if mode != "depth":
             out_refs[1][:] = jnp.full((tile_h, tile_w), -1.0, jnp.float32)
+        if mode == "full":
             out_refs[2][:] = jnp.zeros((tile_h, tile_w), jnp.float32)
             out_refs[3][:] = jnp.zeros((tile_h, tile_w), jnp.float32)
 
@@ -364,9 +415,8 @@ def _make_kernel(tile_h, tile_w, n_tiles_x, global_cap, depth_only):
             # lax.conds: Mosaic branch overhead scales with the unroll,
             # and gcount is usually a handful of batches)
             def gbody(j, st):
-                return _process_rows(
-                    gdata_ref[pl.ds(j * sub_k, sub_k), :],
-                    px, py, st, depth_only,
+                return process(
+                    gdata_ref[pl.ds(j * sub_k, sub_k), :], px, py, st
                 )
 
             st = jax.lax.fori_loop(
@@ -375,6 +425,10 @@ def _make_kernel(tile_h, tile_w, n_tiles_x, global_cap, depth_only):
             write_state(st)
 
         # --- per-tile run with double-buffered DMA ----------------------
+        # Batch 0 lives in slot 2: it was prefetched by the PREVIOUS grid
+        # step (the tile sort lays runs back to back in HBM), so the
+        # first-batch DMA latency — the dominant raster overhead at the
+        # typical 1-2 batches/tile — overlaps the previous tile's compute.
         start = runs_ref[0, i]
         count = runs_ref[1, i]
         nb = pl.cdiv(count, sub_k)
@@ -386,29 +440,54 @@ def _make_kernel(tile_h, tile_w, n_tiles_x, global_cap, depth_only):
                 sem.at[slot],
             )
 
+        @pl.when((i == 0) & (nb > 0))
+        def _():
+            get_dma(2, 0).start()  # nobody prefetched for tile 0
+
         @pl.when(nb > 0)
         def _():
-            get_dma(0, 0).start()
+            @pl.when(nb > 1)
+            def _():
+                get_dma(0, 1).start()
+
+            get_dma(2, 0).wait()
+            st0 = process(buf[2], px, py, read_state())
 
             def body(j, st):
-                slot = jax.lax.rem(j, 2)
+                slot = jax.lax.rem(j - 1, 2)
 
                 @pl.when(j + 1 < nb)
                 def _():
                     get_dma(1 - slot, j + 1).start()
 
                 get_dma(slot, j).wait()
-                return _process_rows(buf[slot], px, py, st, depth_only)
+                return process(buf[slot], px, py, st)
 
-            st = jax.lax.fori_loop(0, nb, body, read_state())
+            st = jax.lax.fori_loop(1, nb, body, st0)
             write_state(st)
+
+        # prefetch the NEXT tile's first batch into slot 2 (started iff
+        # that tile is non-empty — it waits iff non-empty, so every DMA
+        # is waited exactly once)
+        if n_tiles > 1:
+            @pl.when(i + 1 < n_tiles)
+            def _():
+                @pl.when(runs_ref[1, i + 1] > 0)
+                def _():
+                    pltpu.make_async_copy(
+                        hbm_ref.at[pl.ds(runs_ref[0, i + 1], sub_k), :],
+                        buf.at[2],
+                        sem.at[2],
+                    ).start()
 
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "tile_h", "tile_w", "depth_only"),
+    static_argnames=(
+        "width", "height", "tile_h", "tile_w", "depth_only", "slim"
+    ),
 )
 def rasterize(
     binned: BinnedTriangles,
@@ -418,6 +497,7 @@ def rasterize(
     tile_h: int = 16,
     tile_w: int = 128,
     depth_only: bool = False,
+    slim: bool = False,
     tile_row_offset=0,
 ):
     """Rasterize binned triangles into a visibility buffer.
@@ -425,6 +505,12 @@ def rasterize(
     Returns (tri_id int32 (H,W) with -1 background, depth f32 (H,W),
     b0 f32 (H,W), b1 f32 (H,W)).  width/height must be multiples of the
     tile size (pad + crop at the caller).
+
+    slim=True runs the lean visibility kernel (_process_rows_slim):
+    identical tri/z, but b0/b1 are returned as None — the fast G-buffer
+    path recomputes perspective-correct barycentrics from the packed
+    world-space corners (passes/gbuffer.py::_homogeneous_barycentrics),
+    so the kernel drops two output planes and the winner arbitration.
 
     tile_row_offset (int or traced scalar) > 0 renders only the
     ``height``-tall horizontal band starting at pixel row
@@ -463,11 +549,12 @@ def rasterize(
     )
     gcount = jnp.reshape(binned.global_count, (1, 1)).astype(jnp.int32)
 
+    mode = "depth" if depth_only else ("slim" if slim else "full")
     kernel = _make_kernel(
-        tile_h, tile_w, n_tiles_x, binned.global_data.shape[0], depth_only
+        tile_h, tile_w, n_tiles_x, binned.global_data.shape[0], mode, n_tiles
     )
 
-    n_out = 1 if depth_only else 4
+    n_out = {"depth": 1, "slim": 2, "full": 4}[mode]
     out_shape = [
         jax.ShapeDtypeStruct((height, width), jnp.float32)
         for _ in range(n_out)
@@ -493,8 +580,10 @@ def rasterize(
         out_specs=[tile_spec] * n_out,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, sub_k, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            # slots 0/1: in-tile double buffer; slot 2: cross-tile
+            # prefetch of the next tile's first batch
+            pltpu.VMEM((3, sub_k, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=_use_interpret(),
     )(
@@ -507,7 +596,11 @@ def rasterize(
     if depth_only:
         # single z plane; callers unpack (_, z, _, _)
         return None, outs[0], None, None
-    z, tri_f, b0, b1 = outs
+    if slim:
+        z, tri_f = outs
+        b0 = b1 = None
+    else:
+        z, tri_f, b0, b1 = outs
     tri = jnp.round(tri_f).astype(jnp.int32)
     tri = jnp.where(z < FAR_DEPTH, tri, -1)
     return tri, z, b0, b1

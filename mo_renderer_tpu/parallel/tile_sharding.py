@@ -115,9 +115,9 @@ def row_sharded_frame_body(
             tile_start=jnp.pad(binned.tile_start, (0, extra)),
             tile_count=jnp.pad(binned.tile_count, (0, extra)),
         )
-    tri, z, b0, b1 = rasterize(
+    tri, z, _, _ = rasterize(
         binned, width=pad_w, height=h_local,
-        tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+        tile_h=cfg.tile_h, tile_w=cfg.tile_w, slim=True,
         tile_row_offset=d * tiles_per_band,
     )
     # checkerboard shading per band: bands start on tile_h multiples
@@ -131,13 +131,11 @@ def row_sharded_frame_body(
         tri_full, z_full = tri, z
         tri = decimate_cols(tri, "cb")
         z = decimate_cols(z, "cb")
-        b0 = decimate_cols(b0, "cb")
-        b1 = decimate_cols(b1, "cb")
     else:
         z_full = z
     gbuf = gbuffer_pass_fast(
-        tri, z, b0, b1, scene, scene.tri_attrs, params,
-        slot_map=slot_map,
+        tri, z, None, None, scene, scene.tri_attrs, params,
+        slot_map=slot_map, cb=use_cb, full_wh=(pad_w, pad_h), y0=row0,
     )
 
     # --- SSAO with a REAL halo exchange over the mesh -------------------

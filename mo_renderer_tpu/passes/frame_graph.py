@@ -239,20 +239,20 @@ def frame_program(
             slot_map=slot_map,
         )
     else:
+        # fast path: slim 2-output visibility kernel — barycentrics are
+        # rebuilt in gbuffer_pass_fast from the packed corners
         tri, z, b0, b1 = rasterize(
             binned, width=pad_w, height=pad_h,
-            tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+            tile_h=cfg.tile_h, tile_w=cfg.tile_w, slim=fast,
         )
         if use_cb:
             tri_full, z_full = tri, z
             tri = decimate_cols(tri, "cb")
             z = decimate_cols(z, "cb")
-            b0 = decimate_cols(b0, "cb")
-            b1 = decimate_cols(b1, "cb")
         if fast:
             gbuf = gbuffer_pass_fast(
-                tri, z, b0, b1, scene, scene.tri_attrs, params,
-                slot_map=slot_map,
+                tri, z, None, None, scene, scene.tri_attrs, params,
+                slot_map=slot_map, cb=use_cb, full_wh=(pad_w, pad_h),
             )
         else:
             gbuf = gbuffer_pass(tri, z, b0, b1, scene, vs)

@@ -164,11 +164,63 @@ def _ndc01(c):
     return jnp.stack([a[..., 0], 1.0 - a[..., 1]], axis=-1)
 
 
+def _homogeneous_barycentrics(wp, pv, nx, ny):
+    """Perspective-correct barycentrics straight from world-space corners.
+
+    2D homogeneous rasterization (Olano & Greer): for a pixel at NDC
+    (nx, ny) and clip-space corners (x_k, y_k, w_k), the 3D-linear
+    interpolation weights satisfy sum_k bb_k (x_k - nx w_k) = 0 and the
+    same in y, so bb is proportional to the cross product of
+    u = x - nx*w and v = y - ny*w.  No per-corner divisions, and no
+    dependency on the raster kernel's screen-space edge values — this is
+    what lets the fast path run the slim 2-output visibility kernel.
+    """
+    def clip_row(p, r):
+        return (
+            p[..., 0] * pv[r, 0] + p[..., 1] * pv[r, 1]
+            + p[..., 2] * pv[r, 2] + pv[r, 3]
+        )
+
+    u, v = [], []
+    for k in range(3):
+        xk = clip_row(wp[k], 0)
+        yk = clip_row(wp[k], 1)
+        wk = clip_row(wp[k], 3)
+        u.append(xk - nx * wk)
+        v.append(yk - ny * wk)
+    q0 = u[1] * v[2] - u[2] * v[1]
+    q1 = u[2] * v[0] - u[0] * v[2]
+    q2 = u[0] * v[1] - u[1] * v[0]
+    qs = q0 + q1 + q2
+    qs = jnp.where(jnp.abs(qs) > 1e-30, qs, 1.0)
+    return q0 / qs, q1 / qs, q2 / qs
+
+
+def pixel_ndc(shape, full_wh, *, cb=False, y0=0):
+    """NDC coordinates (nx, ny) of every pixel center of a visibility
+    plane — (H, W) full-res, or the (H, W/2) checkerboard domain
+    (columns 2j + (y & 1), kernels/decimate.decimate_cols) when cb.
+    full_wh is the raster target size (the padded framebuffer that
+    triangle_setup mapped NDC onto); y0 is the plane's first global
+    pixel row (row-sharded bands)."""
+    h, wd = shape
+    full_w, full_h = full_wh
+    yy = y0 + jnp.arange(h, dtype=jnp.int32)[:, None]
+    if cb:
+        xx = 2 * jnp.arange(wd, dtype=jnp.int32)[None, :] + (yy & 1)
+    else:
+        xx = jnp.broadcast_to(jnp.arange(wd, dtype=jnp.int32)[None, :], (h, wd))
+    nx = (xx.astype(jnp.float32) + 0.5) * (2.0 / full_w) - 1.0
+    ny = (yy.astype(jnp.float32) + 0.5) * (2.0 / full_h) - 1.0
+    return nx, jnp.broadcast_to(ny, (h, wd))
+
+
 def gbuffer_pass_fast(tri, z, b0, b1, scene, tri_attrs, params,
-                      slot_map: tuple = (0, 1, 2, 3, 4)) -> GBuffer:
+                      slot_map: tuple = (0, 1, 2, 3, 4),
+                      cb: bool = False, full_wh=None, y0=0) -> GBuffer:
     """Gather-minimal G-buffer: typically 2-4 gathers per pixel total.
 
-    1. one (T, 44) row gather for all corner attributes (packed by
+    1. one (T, 35) row gather for all corner attributes (packed by
        vertex_stage.pack_triangle_attributes),
     2. the material row via a one-hot MXU matmul (no gather),
     3. 0-3 texture-stack quad gathers covering the SAMPLED slots;
@@ -176,15 +228,18 @@ def gbuffer_pass_fast(tri, z, b0, b1, scene, tri_attrs, params,
        uniform color for every material) read their per-material
        constant from the material table instead.
 
-    Clip/prev-clip positions and corner 1/w are recomputed per pixel from
-    world position (exact — they are linear in it).  Texturing assumes
-    every slot samples UV set 0 (the caller falls back to gbuffer_pass
-    when a material uses UV1).  ``slot_map`` must be the scene's
-    ``stack_slots`` (host-read): it is the static layout of the stacks.
+    b0/b1 may be None (the slim visibility kernel): perspective-correct
+    barycentrics are then rebuilt per pixel from the packed world-space
+    corners via _homogeneous_barycentrics — cb/full_wh/y0 describe the
+    pixel domain of ``tri`` (see pixel_ndc).  Clip/prev-clip positions
+    are recomputed from world position (exact — linear in it).
+    Texturing assumes every slot samples UV set 0 (the caller falls back
+    to gbuffer_pass when a material uses UV1).  ``slot_map`` must be the
+    scene's ``stack_slots`` (host-read): the static stack layout.
     """
     covered = tri >= 0
     t = jnp.maximum(tri, 0)
-    row = sampling.take_rows(tri_attrs, t)  # (H, W, 44)
+    row = sampling.take_rows(tri_attrs, t)  # (H, W, 35)
 
     pv = params["proj_view"]
     prev_pv = params["prev_proj_view"]
@@ -194,24 +249,28 @@ def gbuffer_pass_fast(tri, z, b0, b1, scene, tri_attrs, params,
 
     wp = [corner(TRI_WP0, 3, k) for k in range(3)]
 
-    # perspective-correct barycentrics: w_k = PV[3] . [wp_k, 1]
-    def clip_w(p):
-        return (
-            p[..., 0] * pv[3, 0] + p[..., 1] * pv[3, 1]
-            + p[..., 2] * pv[3, 2] + pv[3, 3]
-        )
+    if b0 is None:
+        if full_wh is None:
+            full_wh = (tri.shape[1] * (2 if cb else 1), tri.shape[0])
+        nx, ny = pixel_ndc(tri.shape, full_wh, cb=cb, y0=y0)
+        bb0, bb1, bb2 = _homogeneous_barycentrics(wp, pv, nx, ny)
+    else:
+        # perspective correction from the raster kernel's screen-space
+        # barycentrics: w_k = PV[3] . [wp_k, 1]
+        def inv_w(p):
+            w = (
+                p[..., 0] * pv[3, 0] + p[..., 1] * pv[3, 1]
+                + p[..., 2] * pv[3, 2] + pv[3, 3]
+            )
+            return 1.0 / jnp.where(jnp.abs(w) > 1e-20, w, 1.0)
 
-    def inv_w(p):
-        w = clip_w(p)
-        return 1.0 / jnp.where(jnp.abs(w) > 1e-20, w, 1.0)
-
-    b2 = 1.0 - b0 - b1
-    q0 = b0 * inv_w(wp[0])
-    q1 = b1 * inv_w(wp[1])
-    q2 = b2 * inv_w(wp[2])
-    qs = q0 + q1 + q2
-    qs = jnp.where(jnp.abs(qs) > 1e-20, qs, 1.0)
-    bb0, bb1, bb2 = q0 / qs, q1 / qs, q2 / qs
+        b2 = 1.0 - b0 - b1
+        q0 = b0 * inv_w(wp[0])
+        q1 = b1 * inv_w(wp[1])
+        q2 = b2 * inv_w(wp[2])
+        qs = q0 + q1 + q2
+        qs = jnp.where(jnp.abs(qs) > 1e-20, qs, 1.0)
+        bb0, bb1, bb2 = q0 / qs, q1 / qs, q2 / qs
 
     def interp(base, width):
         return (
