@@ -133,6 +133,25 @@ MAT_CONST_BASE = 24  # + 4 * slot
 MATERIAL_STRIDE = 48  # padded
 
 
+def fast_used_cols(slot_map) -> tuple:
+    """Static column set the fast G-buffer path reads from the material
+    table, in fetch order.  Scene packing appends these per-triangle
+    (already resolved through the mesh->material indirection) to the
+    tri_attrs rows: the per-pixel one-hot material matmul disappears —
+    the attrs row gather is index-count-bound, so the extra columns are
+    nearly free, while the (H*W, n_mats) einsum costs ~1ms/frame at
+    100+ materials."""
+    used = [MAT_STACK_BASE, MAT_STACK_SIZE]
+    used += list(range(MAT_BASE_COLOR_FACTOR, MAT_BASE_COLOR_FACTOR + 4))
+    used += list(range(MAT_EMISSIVE_FACTOR, MAT_EMISSIVE_FACTOR + 3))
+    used += [MAT_METALLIC_FACTOR, MAT_ROUGHNESS_FACTOR]
+    for k, p in enumerate(slot_map):
+        if p < 0:  # constant slot: per-material color lives in the table
+            used += list(range(MAT_CONST_BASE + 4 * k,
+                               MAT_CONST_BASE + 4 * k + 4))
+    return tuple(used)
+
+
 def pack_material_gpu(
     mat: GltfMaterialCPU,
     base_color_idx: int,

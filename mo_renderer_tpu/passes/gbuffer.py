@@ -27,6 +27,7 @@ from .vertex_stage import (
     TRI_HANDED,
     TRI_MAT,
     TRI_N0,
+    TRI_STRIDE,
     TRI_T0,
     TRI_UV0,
     TRI_WP0,
@@ -298,38 +299,42 @@ def gbuffer_pass_fast(tri, z, b0, b1, scene, tri_attrs, params,
     wp1 = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], -1)
     velocity = _ndc01(wp1 @ pv.T) - _ndc01(wp1 @ prev_pv.T)
 
+    # material columns ride the attrs row (packed per triangle by
+    # vertex_stage.pack_triangle_attributes — the row gather is
+    # index-count-bound, so they are nearly free here, vs ~1ms/frame
+    # for the per-pixel one-hot matmul at 100+ materials)
+    used_cols = M.fast_used_cols(slot_map)
+    mat_cols = row[..., TRI_STRIDE : TRI_STRIDE + len(used_cols)]
     return _texture_and_assemble(
         covered, z, world_pos, n_in, t_in, bt_in, uv0, mat_id, has_tangent,
-        velocity, scene, slot_map,
+        velocity, scene, slot_map, mat_cols=mat_cols,
     )
 
 
 def _texture_and_assemble(
     covered, z, world_pos, n_in, t_in, bt_in, uv0, mat_id, has_tangent,
-    velocity, scene, slot_map,
+    velocity, scene, slot_map, mat_cols=None,
 ):
     """Shared fast-path tail: material fetch, texture-stack sampling,
-    factor application, TBN normal mapping, G-buffer assembly."""
-    # material row via one-hot MXU matmul: the table is tiny (<=256 rows)
-    # and a matmul beats the gather emitter by ~25ms at 1080p.  Only the
-    # columns this path actually reads are multiplied (slot_map is
-    # static): halves the matmul output + its layout copy
-    # (scripts/bench_interp_variants.py: 48 cols 9.2ms vs 24 cols 4.4ms).
-    used_cols = [M.MAT_STACK_BASE, M.MAT_STACK_SIZE]
-    used_cols += list(range(M.MAT_BASE_COLOR_FACTOR, M.MAT_BASE_COLOR_FACTOR + 4))
-    used_cols += list(range(M.MAT_EMISSIVE_FACTOR, M.MAT_EMISSIVE_FACTOR + 3))
-    used_cols += [M.MAT_METALLIC_FACTOR, M.MAT_ROUGHNESS_FACTOR]
-    for k, p in enumerate(slot_map):
-        if p < 0:  # constant slot: per-material color lives in the table
-            used_cols += list(range(M.MAT_CONST_BASE + 4 * k,
-                                    M.MAT_CONST_BASE + 4 * k + 4))
+    factor application, TBN normal mapping, G-buffer assembly.
+
+    mat_cols: the per-pixel materials.fast_used_cols values when the
+    caller already has them (gbuffer_pass_fast reads them off the attrs
+    row).  When None (megakernel planes), the material row is fetched
+    via a one-hot MXU matmul — the table is tiny (<=256 rows) and a
+    matmul beats the gather emitter by ~25ms at 1080p; only the columns
+    this path actually reads are multiplied (slot_map is static)."""
+    used_cols = M.fast_used_cols(slot_map)
     col_pos = {c: i for i, c in enumerate(used_cols)}
-    n_mats = scene.materials.shape[0]
-    onehot = jax.nn.one_hot(mat_id, n_mats, dtype=jnp.float32)
-    mat = jnp.einsum(
-        "hwm,mc->hwc", onehot, scene.materials[:, jnp.asarray(used_cols)],
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    if mat_cols is not None:
+        mat = mat_cols
+    else:
+        n_mats = scene.materials.shape[0]
+        onehot = jax.nn.one_hot(mat_id, n_mats, dtype=jnp.float32)
+        mat = jnp.einsum(
+            "hwm,mc->hwc", onehot, scene.materials[:, jnp.asarray(used_cols)],
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
     def col(c):
         return mat[..., col_pos[c]]

@@ -105,7 +105,8 @@ TRI_T0 = 18          # 3 x world_tangent (9)
 TRI_UV0 = 27         # 3 x uv0 (6)
 TRI_MAT = 33         # material id (1)
 TRI_HANDED = 34      # 0 = no tangent; +-1 = tangent.w handedness sign
-TRI_STRIDE = 35      # no padding — gather bytes/row is the cost driver
+TRI_STRIDE = 35      # geometry columns; materials.fast_used_cols rows
+                     # follow (resolved per triangle at pack time)
 # Corner BITANGENTS are not packed: consumers recompute
 # B = cross(N, T) * handed per pixel from the interpolated
 # normal/tangent, with the handedness sign folded into TRI_HANDED
@@ -173,8 +174,13 @@ def pack_raster_attr_columns(tri_attrs, proj_view) -> jnp.ndarray:
     return jnp.concatenate(cols, axis=-1)
 
 
-def pack_triangle_attributes(scene, vs: VertexOutputs) -> jnp.ndarray:
-    """(T, 35) f32 corner-attribute rows (gathered per pixel downstream)."""
+def pack_triangle_attributes(scene, vs: VertexOutputs,
+                             used_cols: tuple = ()) -> jnp.ndarray:
+    """(T, 35 + len(used_cols)) f32 corner-attribute rows (gathered per
+    pixel downstream).  used_cols (materials.fast_used_cols, static)
+    appends that material-table column subset per triangle — the fast
+    G-buffer path then reads material constants straight from the row
+    instead of a per-pixel one-hot matmul."""
     i0, i1, i2 = (scene.indices[:, k] for k in range(3))
 
     def corners(attr):  # (V, C) -> (T, 3*C)
@@ -182,9 +188,8 @@ def pack_triangle_attributes(scene, vs: VertexOutputs) -> jnp.ndarray:
             [jnp.take(attr, i, axis=0) for i in (i0, i1, i2)], axis=-1
         )
 
-    mat_id = jnp.take(
-        scene.mesh_material, scene.tri_mesh, axis=0
-    ).astype(jnp.float32)
+    mat_idx = jnp.take(scene.mesh_material, scene.tri_mesh, axis=0)
+    mat_id = mat_idx.astype(jnp.float32)
     # handedness column: 0 when the mesh has no tangents, else the sign
     # of tangent.w (glTF: +-1, uniform per primitive in practice) — the
     # consumer rebuilds the bitangent as cross(N, T) * handed
@@ -199,4 +204,7 @@ def pack_triangle_attributes(scene, vs: VertexOutputs) -> jnp.ndarray:
         mat_id[:, None],
         handed[:, None],
     ]
+    if used_cols:
+        sel = scene.materials[:, jnp.asarray(used_cols)]
+        parts.append(jnp.take(sel, mat_idx, axis=0))
     return jnp.concatenate(parts, axis=-1)

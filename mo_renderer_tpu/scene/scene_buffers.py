@@ -11,6 +11,7 @@ padded to static capacities so the whole frame can live under one jit.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import hashlib
 
 import jax
@@ -452,8 +453,8 @@ def pack_scene(world, config: EngineConfig) -> SceneBuffers:
     return scene
 
 
-@jax.jit
-def _compute_tri_attrs(scene: SceneBuffers):
+@functools.partial(jax.jit, static_argnames=("used_cols",))
+def _compute_tri_attrs(scene: SceneBuffers, used_cols: tuple):
     """Vertex stage (identity projections — only the world_* outputs are
     consumed) fused with attribute packing in ONE jitted program."""
     from ..passes.vertex_stage import (
@@ -462,12 +463,21 @@ def _compute_tri_attrs(scene: SceneBuffers):
     )
 
     eye = jnp.eye(4, dtype=jnp.float32)
-    return pack_triangle_attributes(scene, run_vertex_stage(scene, eye, eye, eye))
+    return pack_triangle_attributes(
+        scene, run_vertex_stage(scene, eye, eye, eye), used_cols=used_cols
+    )
 
 
 def refresh_tri_attrs(scene: SceneBuffers) -> SceneBuffers:
-    """Recompute the packed per-triangle world-space attribute rows."""
-    return dataclasses.replace(scene, tri_attrs=_compute_tri_attrs(scene))
+    """Recompute the packed per-triangle world-space attribute rows
+    (geometry corners + the fast path's material column subset)."""
+    slot_map = tuple(int(x) for x in np.asarray(scene.stack_slots))
+    return dataclasses.replace(
+        scene,
+        tri_attrs=_compute_tri_attrs(
+            scene, used_cols=pack_M.fast_used_cols(slot_map)
+        ),
+    )
 
 
 def refresh_transforms(scene: SceneBuffers) -> SceneBuffers:
