@@ -35,8 +35,10 @@ FAR_DEPTH = 1.0
 # slim depth-only kernel (shadow 4.82 -> 5.02ms), but in-frame 16/8
 # regressed sponza 33.7 -> 33.3 fps — the bigger batches lose to DMA
 # buffering inside the fused frame, so both stay at 8.
-SUB_K = 8
-SUB_K_DEPTH = 8
+import os
+
+SUB_K = int(os.environ.get("MO_SUB_K", "8"))
+SUB_K_DEPTH = int(os.environ.get("MO_SUB_K_DEPTH", "8"))
 
 
 def _use_interpret() -> bool:

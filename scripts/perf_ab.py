@@ -41,8 +41,12 @@ def main():
     for arg in sys.argv[1:]:
         k, v = arg.split("=", 1)
         cur = getattr(EngineConfig, k)
-        overrides[k] = (v in ("1", "True", "true")) if isinstance(cur, bool) \
-            else type(cur)(v)
+        if isinstance(cur, bool):
+            overrides[k] = v in ("1", "True", "true")
+        elif cur is None:  # optional knobs (e.g. shadow_tile_*): int
+            overrides[k] = None if v == "None" else int(v)
+        else:
+            overrides[k] = type(cur)(v)
 
     cfg_a = EngineConfig(width=1920, height=1080)
     app = build_app(cfg_a)

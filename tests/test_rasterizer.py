@@ -265,3 +265,29 @@ def test_binning_fallback_two_key_sort_matches_packed():
     tri_b, z_b, _, _ = rasterize(b_big, width=W, height=H)
     np.testing.assert_array_equal(np.asarray(tri_s), np.asarray(tri_b))
     np.testing.assert_array_equal(np.asarray(z_s), np.asarray(z_b))
+
+
+def test_slim_kernel_matches_full_exactly():
+    """The 2-output fast-path kernel (select-chain winner, NaN-tie
+    accept) must be BIT-identical to the full kernel on tri/z — same
+    edge arithmetic, same LessOrEqual later-draw-wins arbitration."""
+    rng = np.random.RandomState(7)
+    n_tri = 80
+    pts = rng.uniform([-30, -20], [W + 30, H + 20], size=(n_tri * 3, 2))
+    z = rng.uniform(0.0, 1.0, size=n_tri * 3).astype(np.float32)
+    clip = clip_from_screen(pts.astype(np.float32), z)
+    idx = np.arange(n_tri * 3, dtype=np.int32).reshape(n_tri, 3)
+    setup = triangle_setup(
+        jnp.asarray(clip), jnp.asarray(idx), jnp.ones(n_tri, bool),
+        W, H, cull_backface=False,
+    )
+    binned = bin_triangles(
+        setup, tile_h=16, tile_w=128, n_tiles_x=W // 128,
+        n_tiles_y=H // 16, max_tiles_per_tri=8,
+        binned_cap=4096, global_cap=64,
+    )
+    tri_f, z_f, _, _ = rasterize(binned, width=W, height=H)
+    tri_s, z_s, b0_s, b1_s = rasterize(binned, width=W, height=H, slim=True)
+    assert b0_s is None and b1_s is None
+    np.testing.assert_array_equal(np.asarray(tri_s), np.asarray(tri_f))
+    np.testing.assert_array_equal(np.asarray(z_s), np.asarray(z_f))
