@@ -21,12 +21,17 @@ depth).  On TPU we re-derive the same semantics as data-parallel math:
    - MEDIUM (2 < span <= max_tiles_per_tri): compacted to a static
      ``medium_cap`` (default T/16, >= 1024) then 8 slots each.
    - LARGE (mt < span <= 32): compacted to ``default_large_cap`` rows
-     then 32 slots each — still sorted per-tile runs, NOT global.
-   - HUGE (span > 32): a small global list that stays resident in VMEM
-     and is tested by every tile (sky/floor-scale triangles only — a
-     global triangle costs n_tiles effective pairs).
+     then 32 slots each.
+   - XLARGE (32 < span <= n_tiles, i.e. up to whole-screen): compacted
+     to ``default_xlarge_cap`` rows then n_tiles slots each.  These
+     used to live in a VMEM-resident global list tested by EVERY tile —
+     which cost each tile an inert 8-row batch whenever ANY huge
+     triangle existed (~0.9ms/frame at sponza, whose ground plane hits
+     both rasters); enumerated pairs instead merge into the tiles'
+     existing batches.  The compaction is ONE shared stable argsort on
+     a class key, windowed per class with dynamic slices.
 
-   When T <= 65536 and n_tiles < 32768 (every production config), the
+   When T < 65536 and n_tiles < 32768 (every production config), the
    sort key is ONE packed int32 ``(tile << 16) | tri`` — sorting it
    non-stably orders pairs by (tile, then draw order) exactly, replacing
    the 2-array stable sort.  Runs are recovered with searchsorted.
@@ -225,12 +230,19 @@ LARGE_SPAN = 32  # large class: mt < span <= LARGE_SPAN tiles
 def default_large_cap(t: int) -> int:
     """Static capacity of the compacted large (span mt+1..32) class.
 
-    Keeping these in the sorted per-tile runs instead of the global list
+    Keeping these in the sorted per-tile runs instead of a global list
     matters far more than their count suggests: a global triangle is
     re-tested by EVERY tile (sponza: 29 globals x 1020 tiles ~= 29.6K
     effective pairs — 2.3x the scene's real binned pairs), while a large
     triangle emits at most 32 real pairs."""
     return max(256, t // 128)
+
+
+def default_xlarge_cap(t: int) -> int:
+    """Static capacity of the compacted xlarge (span 33..n_tiles) class —
+    screen-scale triangles (floor planes, sky quads): rare by nature,
+    but each emits up to n_tiles pairs, so the cap stays small."""
+    return max(8, t // 2048)
 
 
 @functools.partial(
@@ -274,7 +286,13 @@ def bin_triangles(
     is_small = live & (span <= 2)
     is_medium = live & (span > 2) & (span <= mt)
     is_large = live & (span > mt) & (span <= LARGE_SPAN)
-    is_global = live & (span > LARGE_SPAN)
+    # XLARGE: span > 32 up to the whole screen (span <= n_tiles by
+    # construction) — enumerated into the per-tile runs like everything
+    # else.  These used to go to a VMEM-resident global list tested by
+    # EVERY tile, but that costs each tile one inert 8-row batch even
+    # when only a floor plane is huge (~0.9ms/frame at sponza across
+    # both rasters); as per-tile pairs they merge into existing batches.
+    is_xlarge = live & (span > LARGE_SPAN)
     tri_ids = jnp.arange(t, dtype=jnp.int32)
 
     # SMALL: 2 slots per triangle.  span <= 2 means the tile footprint is
@@ -297,13 +315,15 @@ def bin_triangles(
     # (A cumsum+scatter compaction measured marginally SLOWER in-frame —
     # sponza 33.7 -> 33.0 fps — scatter is no cheaper than sort here.)
     class_key = jnp.where(
-        is_medium, 0, jnp.where(is_large, 1, jnp.where(is_global, 2, 3))
+        is_medium, 0, jnp.where(is_large, 1, jnp.where(is_xlarge, 2, 3))
     ).astype(jnp.int32)
     order = jnp.argsort(class_key, stable=True)
     n_med = jnp.sum(is_medium.astype(jnp.int32))
     n_lg = jnp.sum(is_large.astype(jnp.int32))
 
-    def slot_div(slot, sx):
+    def slot_div(slot, sx, exact):
+        if exact:  # xlarge: slots up to n_tiles — true integer div
+            return slot // sx, slot % sx
         # slot // sx and slot % sx via an f32 reciprocal: exact for
         # slot < 64, sx <= 32 (error <= 2 ulp << the 1e-4 nudge; true
         # non-integer quotients are >= 1/32 from the next integer)
@@ -312,7 +332,7 @@ def bin_triangles(
         ).astype(jnp.int32)
         return q, slot - q * sx
 
-    def enum_class(corder, is_class, n_slots):
+    def enum_class(corder, is_class, n_slots, exact_div=False):
         def g(a):  # corder holds argsort positions: always in bounds
             return a.at[corder].get(mode="promise_in_bounds")
 
@@ -322,7 +342,7 @@ def bin_triangles(
         c_span_x = g(span_x)
         c_span = g(span)
         slots = jnp.arange(n_slots, dtype=jnp.int32)[None, :]
-        dy, dx = slot_div(slots, c_span_x[:, None])
+        dy, dx = slot_div(slots, c_span_x[:, None], exact_div)
         c_tile = (c_ty0[:, None] + dy) * n_tiles_x + c_tx0[:, None] + dx
         c_ok = c_is[:, None] & (slots < c_span[:, None])
         c_tri = jnp.broadcast_to(corder[:, None], c_tile.shape)
@@ -333,19 +353,29 @@ def bin_triangles(
     m_is, m_span, m_tile, m_ok, m_tri = enum_class(morder, is_medium, mt)
 
     # LARGE (span mt+1..32): next n_lg rows — see default_large_cap for
-    # why these must NOT fall to the global list
+    # why these must NOT fall to the xlarge class
     lcap = min(default_large_cap(t), t)
     lorder = jax.lax.dynamic_slice_in_dim(order, n_med, lcap)
     l_is, l_span, l_tile, l_ok, l_tri = enum_class(lorder, is_large, LARGE_SPAN)
 
+    # XLARGE (span 33..n_tiles): next n_xl rows, n_tiles slots each
+    xcap = min(default_xlarge_cap(t), t)
+    xorder = jax.lax.dynamic_slice_in_dim(order, n_med + n_lg, xcap)
+    x_is, x_span, x_tile, x_ok, x_tri = enum_class(
+        xorder, is_xlarge, n_tiles, exact_div=True
+    )
+
     tile_all = jnp.concatenate(
-        [s_tile.reshape(-1), m_tile.reshape(-1), l_tile.reshape(-1)]
+        [s_tile.reshape(-1), m_tile.reshape(-1), l_tile.reshape(-1),
+         x_tile.reshape(-1)]
     )
     ok_all = jnp.concatenate(
-        [s_ok.reshape(-1), m_ok.reshape(-1), l_ok.reshape(-1)]
+        [s_ok.reshape(-1), m_ok.reshape(-1), l_ok.reshape(-1),
+         x_ok.reshape(-1)]
     )
     tri_all = jnp.concatenate(
-        [s_tri.reshape(-1), m_tri.reshape(-1), l_tri.reshape(-1)]
+        [s_tri.reshape(-1), m_tri.reshape(-1), l_tri.reshape(-1),
+         x_tri.reshape(-1)]
     )
 
     # Dead slots sort past every valid key AND carry the sentinel
@@ -375,15 +405,19 @@ def bin_triangles(
         tri_sorted = tri_sorted[:binned_cap]
 
     n_pairs = jnp.sum(ok_all.astype(jnp.int32))
-    # medium/large triangles beyond their caps lose ALL their pairs
+    # medium/large/xlarge triangles beyond their caps lose ALL their pairs
     medium_dropped = jnp.sum(
         jnp.where(is_medium, span, 0)
     ) - jnp.sum(jnp.where(m_is, m_span, 0))
     large_dropped = jnp.sum(
         jnp.where(is_large, span, 0)
     ) - jnp.sum(jnp.where(l_is, l_span, 0))
+    xlarge_dropped = jnp.sum(
+        jnp.where(is_xlarge, span, 0)
+    ) - jnp.sum(jnp.where(x_is, x_span, 0))
     pair_overflow = (
-        jnp.maximum(n_pairs - binned_cap, 0) + medium_dropped + large_dropped
+        jnp.maximum(n_pairs - binned_cap, 0)
+        + medium_dropped + large_dropped + xlarge_dropped
     )
 
     # per-tile [start, count) from ONE binary search: keys are integers,
@@ -405,32 +439,16 @@ def bin_triangles(
     )
     binned_data = tri_data_pad.at[tri_sorted].get(mode="promise_in_bounds")
 
-    # global list: huge triangles, windowed out of the same class order
-    gcap = min(global_cap, t)
-    g_take = jax.lax.dynamic_slice_in_dim(order, n_med + n_lg, gcap)
-    global_data = tri_data.at[g_take].get(mode="promise_in_bounds")
-    g_is = jnp.take(is_global, g_take)
-    global_data = jnp.where(g_is[:, None], global_data, 0.0)
-    if global_data.shape[0] < global_cap:
-        global_data = jnp.concatenate(
-            [
-                global_data,
-                jnp.zeros(
-                    (global_cap - global_data.shape[0], tri_data.shape[1]),
-                    jnp.float32,
-                ),
-            ],
-            axis=0,
-        )
-    n_global = jnp.sum(is_global.astype(jnp.int32))
-    global_overflow = jnp.maximum(n_global - global_cap, 0)
-    global_count = jnp.minimum(n_global, global_cap)
+    # The global list is retired (every span fits the xlarge class) but
+    # the struct keeps the fields so the raster kernels are unchanged:
+    # an always-zero count skips their global branch instantly.
+    global_data = jnp.zeros((8, tri_data.shape[1]), jnp.float32)
 
     return BinnedTriangles(
         binned_data=binned_data,
         tile_start=tile_start,
         tile_count=tile_count,
         global_data=global_data,
-        global_count=global_count,
-        overflow=pair_overflow + global_overflow,
+        global_count=jnp.zeros((), jnp.int32),
+        overflow=pair_overflow,
     )

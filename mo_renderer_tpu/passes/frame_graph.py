@@ -369,19 +369,29 @@ class Renderer:
             self._binned_cap = _round_up(self.config.binned_cap, 8)
         else:
             # exactly the binner's enumeration bound (2 slots per
-            # triangle + 8/32 per compacted medium/large-class row):
-            # the sort is never truncated, so pair overflow can only
-            # come from the medium/large/global class caps
+            # triangle + 8/32/n_tiles per compacted medium/large/xlarge
+            # class row): the sort is never truncated, so pair overflow
+            # can only come from the class caps.  n_tiles is the LARGER
+            # of the framebuffer and shadow-map tilings (the cap is
+            # shared by both raster passes).
             from ..kernels.raster_setup import (
                 LARGE_SPAN,
                 default_large_cap,
                 default_medium_cap,
+                default_xlarge_cap,
             )
 
+            cfg = self.config
+            n_tiles = max(
+                (self.pad_w // cfg.tile_w) * (self.pad_h // cfg.tile_h),
+                (cfg.shadow_map_size // cfg.tile_w)
+                * (cfg.shadow_map_size // cfg.tile_h),
+            )
             cap = (
                 2 * t
                 + 8 * default_medium_cap(t)
                 + LARGE_SPAN * default_large_cap(t)
+                + n_tiles * default_xlarge_cap(t)
             )
             self._binned_cap = _round_up(min(max(8192, cap), 1 << 20), 8)
         # the stacked-texture fast path samples every slot with UV set 0;

@@ -16,11 +16,12 @@ from mo_renderer_tpu.config import EngineConfig
 
 
 def main():
-    cfg = EngineConfig(
-        width=1920, height=1080,
-        tile_h=int(os.environ.get("MO_TILE_H", "16")),
-        tile_w=int(os.environ.get("MO_TILE_W", "128")),
-    )
+    overrides = {}
+    if "MO_TILE_H" in os.environ:
+        overrides["tile_h"] = int(os.environ["MO_TILE_H"])
+    if "MO_TILE_W" in os.environ:
+        overrides["tile_w"] = int(os.environ["MO_TILE_W"])
+    cfg = EngineConfig(width=1920, height=1080, **overrides)
     app = build_app(cfg)
     app.resumed()
     r = app.renderer

@@ -166,8 +166,10 @@ def test_screen_covering_triangle_routes_large_not_global():
 
 
 def test_huge_triangle_global_list():
-    """span > LARGE_SPAN (32 tiles) routes through the global list and
-    still rasterizes identically to the oracle."""
+    """span > LARGE_SPAN (32 tiles) routes through the XLARGE class into
+    the per-tile runs (one pair per covered tile; the global list stays
+    empty — it used to cost every tile an inert batch) and still
+    rasterizes identically to the oracle."""
     w, h = 1920, 48  # 15 x 3 = 45 tiles at (16, 128)
     pts = np.asarray(
         [[-10, -10], [3 * w, -10], [-10, 3 * h]], np.float32
@@ -185,8 +187,9 @@ def test_huge_triangle_global_list():
         setup, tile_h=16, tile_w=128, n_tiles_x=15, n_tiles_y=3,
         max_tiles_per_tri=8, binned_cap=2048, global_cap=64,
     )
-    assert int(binned.global_count) == 1
-    assert np.asarray(binned.tile_count).sum() == 0
+    assert int(binned.global_count) == 0
+    assert int(binned.overflow) == 0
+    assert np.asarray(binned.tile_count).sum() == 45
     tri_p, z_p, _, _ = rasterize(binned, width=w, height=h)
     tri_r, z_r, _, _ = rasterize_reference(setup, w, h)
     np.testing.assert_array_equal(np.asarray(tri_p), np.asarray(tri_r))
