@@ -63,6 +63,16 @@ COL_TRI_ID = 14
 COL_VALID = 15
 TRI_STRIDE = 16
 
+# binned_data rows are emitted at the Mosaic DMA lane width (128 f32)
+# with SENTINEL_ROWS trailing zero rows, so the raster kernels DMA
+# straight from the table: the 16 -> 128 pad + sentinel concat that
+# rasterize() otherwise performs per call cost ~0.5ms/frame at sponza
+# across both raster passes.  SENTINEL_ROWS bounds the raster sub-batch
+# size (the last batch of the last run may read up to sub_k - 1 rows
+# past the pair capacity).
+ROW_PAD = 128
+SENTINEL_ROWS = 16
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
@@ -83,7 +93,7 @@ class TriangleSetup:
 class BinnedTriangles:
     """Per-tile triangle runs + global (huge-triangle) list."""
 
-    binned_data: jnp.ndarray  # (P_max, 16) f32, sorted by tile
+    binned_data: jnp.ndarray  # (P_max + SENTINEL_ROWS, 128) f32, tile-sorted
     tile_start: jnp.ndarray  # (n_tiles,) int32
     tile_count: jnp.ndarray  # (n_tiles,) int32
     global_data: jnp.ndarray  # (G_max, 16) f32
@@ -433,11 +443,16 @@ def bin_triangles(
     # sentinel row t is all-zero => dead pairs are inert in the kernel.
     # promise_in_bounds: tri_sorted <= t by construction — the default
     # clip mode costs a broadcast+select fusion over the whole table
-    # (~0.4ms/frame at sponza across both raster passes)
-    tri_data_pad = jnp.concatenate(
-        [tri_data, jnp.zeros((1, tri_data.shape[1]), jnp.float32)], axis=0
-    )
+    # (~0.4ms/frame at sponza across both raster passes).  The gather
+    # writes ROW_PAD-wide rows directly (see the constant above).
+    c = tri_data.shape[1]
+    assert c <= ROW_PAD, f"tri rows ({c} cols) exceed the DMA lane width"
+    tri_data_pad = jnp.pad(tri_data, ((0, 1), (0, ROW_PAD - c)))
     binned_data = tri_data_pad.at[tri_sorted].get(mode="promise_in_bounds")
+    binned_data = jnp.concatenate(
+        [binned_data, jnp.zeros((SENTINEL_ROWS, ROW_PAD), jnp.float32)],
+        axis=0,
+    )
 
     # The global list is retired (every span fits the xlarge class) but
     # the struct keeps the fields so the raster kernels are unchanged:

@@ -309,10 +309,12 @@ def rasterize_attrs(
     def pad_rows(d):
         return jnp.pad(d, ((0, 0), (0, 128 - d.shape[1])))
 
-    hbm_data = jnp.concatenate(
-        [pad_rows(binned.binned_data), jnp.zeros((SUB_K, 128), jnp.float32)],
-        axis=0,
-    )
+    # binned_data already carries ROW_PAD-wide rows + sentinel rows
+    # (raster_setup emits them so no per-call relayout copy is needed)
+    from .raster_setup import SENTINEL_ROWS
+
+    assert SUB_K <= SENTINEL_ROWS and binned.binned_data.shape[1] == 128
+    hbm_data = binned.binned_data
     global_data = pad_rows(binned.global_data)
     runs = jnp.stack([binned.tile_start, binned.tile_count], axis=0)
     gcount = jnp.reshape(binned.global_count, (1, 1)).astype(jnp.int32)
@@ -531,11 +533,13 @@ def rasterize(
     def pad_rows(d):
         return jnp.pad(d, ((0, 0), (0, 128 - d.shape[1])))
 
+    from .raster_setup import SENTINEL_ROWS
+
     sub_k = SUB_K_DEPTH if depth_only else SUB_K
-    hbm_data = jnp.concatenate(
-        [pad_rows(binned.binned_data), jnp.zeros((sub_k, 128), jnp.float32)],
-        axis=0,
-    )
+    # binned_data already carries ROW_PAD-wide rows + sentinel rows
+    # (raster_setup emits them so no per-call relayout copy is needed)
+    assert sub_k <= SENTINEL_ROWS and binned.binned_data.shape[1] == 128
+    hbm_data = binned.binned_data
     global_data = pad_rows(binned.global_data)
     # SMEM rows are padded to 128 lanes: shape (2, n_tiles), not (n_tiles, 2)
     t0 = jnp.asarray(tile_row_offset, jnp.int32) * n_tiles_x

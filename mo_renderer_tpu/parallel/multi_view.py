@@ -39,12 +39,9 @@ def make_view_mesh(devices=None, axis_name: str = "views") -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def stack_params(param_dicts: list[dict]) -> dict:
-    """Stack per-view param dicts into one dict of (V, ...) arrays."""
-    return {
-        k: jnp.stack([p[k] for p in param_dicts])
-        for k in param_dicts[0]
-    }
+def stack_params(param_list: list) -> object:
+    """Stack per-view CameraParams into one with a leading (V, ...) axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *param_list)
 
 
 class MultiViewRenderer:

@@ -53,25 +53,78 @@ def _pcf_build(cfg):
     return build_pcf_window_u16
 
 
-def build_camera_params(camera: "Camera", light_proj_view) -> dict:
+@jax.tree_util.register_pytree_node_class
+class CameraParams:
     """Per-frame UBO analog (shading_pass.rs:200-214 UBO_view + skybox
-    near-plane basis, shading_pass.rs:363-401): everything the jitted frame
-    needs from one camera, as a flat dict of device arrays."""
+    near-plane basis, shading_pass.rs:363-401) packed into ONE (64,) f32
+    vector — exactly like the reference's single UBO write per frame.
+
+    One packed vector means ONE host->device upload per frame; the dict
+    of nine small arrays it replaces paid nine synchronous uploads per
+    frame (~1.5ms of host time on a remote backend).  ``params[key]``
+    returns the field as its natural shape via static slices (free
+    fusions under jit); a leading batch axis (stacked views / scanned
+    sequences) is preserved: vec (V, 64) -> params["proj_view"] (V, 4, 4).
+    """
+
+    _LAYOUT = {
+        "proj_view": (0, 16, (4, 4)),
+        "prev_proj_view": (16, 32, (4, 4)),
+        "light_proj_view": (32, 48, (4, 4)),
+        "eye_pos": (48, 51, (3,)),
+        "direction": (51, 54, (3,)),
+        "right": (54, 57, (3,)),
+        "up": (57, 60, (3,)),
+        "near": (60, 61, ()),
+        "near_wh": (61, 63, (2,)),
+    }
+    SIZE = 64  # padded to a lane-friendly size
+
+    def __init__(self, vec, host=None):
+        self.vec = vec
+        # optional host-side numpy copy for cache keys (not a pytree leaf;
+        # dropped by tree transforms, which is fine — only the builder's
+        # direct output carries it)
+        self.host = host
+
+    def __getitem__(self, key):
+        a, b, shape = self._LAYOUT[key]
+        lead = tuple(self.vec.shape[:-1])
+        return self.vec[..., a:b].reshape(lead + shape)
+
+    def host_field(self, key) -> np.ndarray:
+        a, b, shape = self._LAYOUT[key]
+        return np.asarray(self.host[a:b]).reshape(shape)
+
+    def items(self):
+        return [(k, self[k]) for k in self._LAYOUT]
+
+    def tree_flatten(self):
+        return (self.vec,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+
+def build_camera_params(camera: "Camera", light_proj_view) -> CameraParams:
+    """Everything the jitted frame needs from one camera, as ONE packed
+    (64,) f32 device vector (see CameraParams)."""
     proj = camera.projection()
     near = camera.near_p()
     near_h = 2.0 * near * np.tan(camera.fov() / 2.0)
     near_w = camera.aspect() * near_h
-    return {
-        "proj_view": jnp.asarray(proj @ camera.view()),
-        "prev_proj_view": jnp.asarray(proj @ camera.prev_view()),
-        "light_proj_view": jnp.asarray(light_proj_view),
-        "eye_pos": jnp.asarray(camera.position()),
-        "direction": jnp.asarray(camera.direction()),
-        "right": jnp.asarray(camera.right()),
-        "up": jnp.asarray(camera.up()),
-        "near": jnp.asarray(np.float32(near)),
-        "near_wh": jnp.asarray(np.array([near_w, near_h], np.float32)),
-    }
+    buf = np.zeros(CameraParams.SIZE, np.float32)
+    buf[0:16] = np.asarray(proj @ camera.view(), np.float32).reshape(-1)
+    buf[16:32] = np.asarray(proj @ camera.prev_view(), np.float32).reshape(-1)
+    buf[32:48] = np.asarray(light_proj_view, np.float32).reshape(-1)
+    buf[48:51] = camera.position()
+    buf[51:54] = camera.direction()
+    buf[54:57] = camera.right()
+    buf[57:60] = camera.up()
+    buf[60] = near
+    buf[61:63] = (near_w, near_h)
+    return CameraParams(jnp.asarray(buf), host=buf)
 
 
 class RenderPass:
@@ -577,7 +630,12 @@ class Renderer:
         self.scene = refresh_transforms(self.scene)
         params, has_light = self.frame_params(world)
         ibl_maps = self.ibl.maps() if self.ibl is not None else None
-        quads = self._cached_shadow_quads(params["light_proj_view"], has_light)
+        quads = self._cached_shadow_quads(
+            params.host_field("light_proj_view")
+            if params.host is not None
+            else params["light_proj_view"],
+            has_light,
+        )
         rgba, overflow = self._frame_fn(
             self.scene, ibl_maps, params, quads, has_shadow_light=has_light
         )
