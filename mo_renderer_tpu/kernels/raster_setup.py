@@ -432,9 +432,16 @@ def bin_triangles(
 
     # per-tile [start, count) from ONE binary search: keys are integers,
     # so start[k] = #keys < k = end[k-1] (a second side="left" search
-    # costs ~0.7ms/frame across both raster passes for nothing)
+    # costs ~0.7ms/frame across both raster passes for nothing).
+    # method="scan_unrolled" replaces the default 17-step while loop
+    # (state in scalar memory) with straight-line vector compares;
+    # measured in-frame: flagship 56.95 -> 57.05 fps, sponza 44.3 ->
+    # 44.5 — small but free (the trace's 0.6ms "searchsorted" fusion
+    # evidently amortizes across overlapped work either way).
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
-    tile_end = jnp.searchsorted(key_sorted, tile_ids, side="right").astype(jnp.int32)
+    tile_end = jnp.searchsorted(
+        key_sorted, tile_ids, side="right", method="scan_unrolled"
+    ).astype(jnp.int32)
     tile_start = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), tile_end[:-1]]
     )
