@@ -66,14 +66,27 @@ class EngineConfig:
     shadow_cache: bool = False
 
     # Rasterizer tiling. Pixel tiles are (tile_h, tile_w); tile_w must be a
-    # multiple of 128 (TPU lane count), tile_h a multiple of 8.  32x128 is
-    # the measured optimum at 1080p: raster cost is dominated by per-grid-
-    # step overhead, so halving the tile count beats the larger per-pair
-    # pixel footprint (16x128 +0.3ms flagship / +0.6ms sponza; 32x256 and
-    # 16x256 both worse).  Raster output is bit-identical across tilings
-    # (binning is conservative-exact and the depth/tie rule is tile-local).
-    tile_h: int = 32
+    # multiple of 128 (TPU lane count), tile_h a multiple of 8.  Raster
+    # cost is dominated by per-grid-step overhead, so the fewer tiles the
+    # better AS LONG AS binning granularity (see raster_sub_y) stays at 32
+    # rows — the measured per-pair pixel-footprint optimum (16x128 +0.3ms
+    # flagship / +0.6ms sponza vs 32; 32x256 / 16x256 / 64-row BINS all
+    # worse).  None (default) picks 64 when that doesn't grow the padded
+    # framebuffer (1080p: 1088 either way — flagship -0.1ms, sponza
+    # -0.6ms vs 32) and 32 otherwise (720p: 736 vs 768).  Raster output
+    # is bit-identical across tilings (binning is conservative-exact and
+    # the depth/tie rule is tile-local).
+    tile_h: int | None = None
     tile_w: int = 128
+    # Vertical sub-runs per raster tile: triangles are BINNED at
+    # (tile_h/raster_sub_y)-row granularity while the Pallas grid stays at
+    # (tile_h, tile_w) blocks — each grid step processes raster_sub_y
+    # shorter runs, so candidates are tested against sub_y-fold fewer
+    # pixels without paying more per-grid-step overhead.  None (default)
+    # keeps 32-row bins (tile_h/32): measured optimal on both flagship
+    # and sponza — 16-row bins lose ~0.4ms to per-run overhead at either
+    # tile_h.  Output is bit-identical across values.
+    raster_sub_y: int | None = None
     # Capacity of the per-tile (tile, triangle) pair table built by
     # bin_triangles.  None = heuristic (4x the triangle count, clamped to
     # [8192, 2^20]).  Overflow is detected at runtime (Renderer surfaces
@@ -187,8 +200,22 @@ class EngineConfig:
     mouse_sensitivity: float = 0.005
 
     def __post_init__(self):
+        def up(x, m):
+            return ((x + m - 1) // m) * m
+
+        if self.tile_h is None:
+            # 64-row tiles iff they don't grow the padded framebuffer
+            self.tile_h = (
+                64 if up(self.height, 64) == up(self.height, 32) else 32
+            )
+        if self.raster_sub_y is None:
+            self.raster_sub_y = max(1, self.tile_h // 32)  # 32-row bins
         assert self.tile_w % 128 == 0, "tile_w must be a multiple of 128"
         assert self.tile_h % 8 == 0, "tile_h must be a multiple of 8"
+        assert (
+            self.tile_h % self.raster_sub_y == 0
+            and (self.tile_h // self.raster_sub_y) % 8 == 0
+        ), "tile_h/raster_sub_y must be a multiple of 8"
 
 
 DEFAULT_CONFIG = EngineConfig()

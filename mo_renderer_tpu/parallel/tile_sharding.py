@@ -96,18 +96,19 @@ def row_sharded_frame_body(
         vs.clip, scene.indices, scene.tri_valid, pad_w, pad_h,
         cull_backface=True,
     )
+    bin_h = cfg.tile_h // cfg.raster_sub_y  # binning granularity
     binned = bin_triangles(
         setup,
-        tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+        tile_h=bin_h, tile_w=cfg.tile_w,
         n_tiles_x=pad_w // cfg.tile_w,
-        n_tiles_y=pad_h // cfg.tile_h,
+        n_tiles_y=pad_h // bin_h,
         max_tiles_per_tri=8,
         binned_cap=binned_cap,
         global_cap=512,
     )
     if pad_h_split > pad_h:
-        # pad the run table with empty tiles for the split-only rows
-        extra = (pad_h_split - pad_h) // cfg.tile_h * (pad_w // cfg.tile_w)
+        # pad the run table with empty runs for the split-only rows
+        extra = (pad_h_split - pad_h) // bin_h * (pad_w // cfg.tile_w)
         import dataclasses
 
         binned = dataclasses.replace(
@@ -118,6 +119,7 @@ def row_sharded_frame_body(
     tri, z, _, _ = rasterize(
         binned, width=pad_w, height=h_local,
         tile_h=cfg.tile_h, tile_w=cfg.tile_w, slim=True,
+        sub_y=cfg.raster_sub_y,
         tile_row_offset=d * tiles_per_band,
     )
     # checkerboard shading per band: bands start on tile_h multiples

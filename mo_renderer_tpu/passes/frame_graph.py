@@ -163,11 +163,12 @@ def _shadow_map_from_clip(shadow_clip, scene, *, cfg, binned_cap):
         depth_bias_const=cfg.shadow_depth_bias_const,
         depth_bias_slope=cfg.shadow_depth_bias_slope,
     )
+    bin_h = cfg.tile_h // cfg.raster_sub_y
     s_binned = bin_triangles(
         s_setup,
-        tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+        tile_h=bin_h, tile_w=cfg.tile_w,
         n_tiles_x=smap // cfg.tile_w,
-        n_tiles_y=smap // cfg.tile_h,
+        n_tiles_y=smap // bin_h,
         max_tiles_per_tri=8,
         binned_cap=binned_cap,
         global_cap=512,
@@ -175,6 +176,7 @@ def _shadow_map_from_clip(shadow_clip, scene, *, cfg, binned_cap):
     _, shadow_map, _, _ = rasterize(
         s_binned, width=smap, height=smap,
         tile_h=cfg.tile_h, tile_w=cfg.tile_w, depth_only=True,
+        sub_y=cfg.raster_sub_y,
     )
     return shadow_map, s_binned.overflow
 
@@ -273,11 +275,13 @@ def frame_program(
         setup = dataclasses.replace(
             setup, tri_data=jnp.concatenate([setup.tri_data, extra], axis=1)
         )
+    # megakernel interpolates per candidate row, so it keeps runs == tiles
+    gb_sub = 1 if use_megakernel else cfg.raster_sub_y
     binned = bin_triangles(
         setup,
-        tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+        tile_h=cfg.tile_h // gb_sub, tile_w=cfg.tile_w,
         n_tiles_x=pad_w // cfg.tile_w,
-        n_tiles_y=pad_h // cfg.tile_h,
+        n_tiles_y=pad_h // (cfg.tile_h // gb_sub),
         max_tiles_per_tri=8,
         binned_cap=binned_cap,
         global_cap=512,
@@ -297,6 +301,7 @@ def frame_program(
         tri, z, b0, b1 = rasterize(
             binned, width=pad_w, height=pad_h,
             tile_h=cfg.tile_h, tile_w=cfg.tile_w, slim=fast,
+            sub_y=cfg.raster_sub_y,
         )
         if use_cb:
             tri_full, z_full = tri, z
@@ -435,10 +440,11 @@ class Renderer:
             )
 
             cfg = self.config
+            bin_h = cfg.tile_h // cfg.raster_sub_y  # binning granularity
             n_tiles = max(
-                (self.pad_w // cfg.tile_w) * (self.pad_h // cfg.tile_h),
+                (self.pad_w // cfg.tile_w) * (self.pad_h // bin_h),
                 (cfg.shadow_map_size // cfg.tile_w)
-                * (cfg.shadow_map_size // cfg.tile_h),
+                * (cfg.shadow_map_size // bin_h),
             )
             cap = (
                 2 * t

@@ -21,6 +21,8 @@ def main():
         overrides["tile_h"] = int(os.environ["MO_TILE_H"])
     if "MO_TILE_W" in os.environ:
         overrides["tile_w"] = int(os.environ["MO_TILE_W"])
+    if "MO_SUB_Y" in os.environ:
+        overrides["raster_sub_y"] = int(os.environ["MO_SUB_Y"])
     cfg = EngineConfig(width=1920, height=1080, **overrides)
     app = build_app(cfg)
     app.resumed()

@@ -294,3 +294,52 @@ def test_slim_kernel_matches_full_exactly():
     assert b0_s is None and b1_s is None
     np.testing.assert_array_equal(np.asarray(tri_s), np.asarray(tri_f))
     np.testing.assert_array_equal(np.asarray(z_s), np.asarray(z_f))
+
+
+def test_sub_tile_runs_match_whole_tile():
+    """sub_y=2/4 (bin at tile_h/sub rows, one grid step per whole tile)
+    must be bit-identical to sub_y=1 in every kernel mode, including a
+    banded (tile_row_offset) render of the middle band."""
+    rng = np.random.RandomState(11)
+    n_tri = 120
+    pts = rng.uniform([-30, -20], [W + 30, H + 20], size=(n_tri * 3, 2))
+    z = rng.uniform(0.0, 1.0, size=n_tri * 3).astype(np.float32)
+    clip = clip_from_screen(pts.astype(np.float32), z)
+    idx = np.arange(n_tri * 3, dtype=np.int32).reshape(n_tri, 3)
+    setup = triangle_setup(
+        jnp.asarray(clip), jnp.asarray(idx), jnp.ones(n_tri, bool),
+        W, H, cull_backface=False,
+    )
+
+    def bin_at(h):
+        return bin_triangles(
+            setup, tile_h=h, tile_w=128, n_tiles_x=W // 128,
+            n_tiles_y=H // h, max_tiles_per_tri=8,
+            binned_cap=8192, global_cap=64,
+        )
+
+    b1 = bin_at(32)
+    ref = rasterize(b1, width=W, height=H, tile_h=32)
+    for sub in (2, 4):
+        b = bin_at(32 // sub)
+        assert int(b.overflow) == 0
+        for mode in ({}, {"slim": True}, {"depth_only": True}):
+            got = rasterize(
+                b, width=W, height=H, tile_h=32, sub_y=sub, **mode
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got[1]), np.asarray(ref[1]), err_msg=f"{sub} {mode}"
+            )
+            if not mode.get("depth_only"):
+                np.testing.assert_array_equal(
+                    np.asarray(got[0]), np.asarray(ref[0])
+                )
+
+    # banded render: middle 32-row band of the full-frame binning
+    b2 = bin_at(16)
+    _, z_band, _, _ = rasterize(
+        b2, width=W, height=32, tile_h=32, sub_y=2, tile_row_offset=1,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(z_band), np.asarray(ref[1])[32:64]
+    )
