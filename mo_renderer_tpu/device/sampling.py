@@ -451,36 +451,36 @@ def build_pcf_window_u16_half(img):
     outside the 4x4 window clamp to its edge — a <= half-texel softening
     on ~1/8 of taps (budget-pinned in tests/test_fast_budget.py).
     """
+    import jax as _jax
+
+    h2, w2 = img.shape[0] // 2, img.shape[1] // 2
     q = jnp.minimum(
         jnp.ceil(jnp.clip(img, 0.0, 1.0) * 65535.0), 65535.0
     ).astype(jnp.uint32)
+    # Phase decomposition: val(r, c)[i, j] = q[clamp(2i+r), clamp(2j+c)]
+    # is a (r//2, c//2) SLICE of the (r%2, c%2) stride-2 phase plane, so
+    # the 16 window taps read 4 quarter-size planes instead of 16 shifted
+    # full-resolution ones (~2.5x less HBM traffic than the former
+    # shift-then-decimate form).  Edge-replicating q by 2 first makes
+    # qpad[y, x] = q[min(y, S-1), min(x, S-1)] — exactly the full-res
+    # builder's clamp — so the slices never need their own clamping.
+    q = jnp.concatenate([q, jnp.repeat(q[:, -1:], 2, axis=1)], axis=1)
+    q = jnp.concatenate([q, jnp.repeat(q[-1:], 2, axis=0)], axis=0)
 
-    def shift_x(t, k):
-        if k == 0:
-            return t
-        return jnp.concatenate(
-            [t[:, k:], jnp.repeat(t[:, -1:], k, axis=1)], axis=1
-        )
-
-    def shift_y(t, k):
-        if k == 0:
-            return t
-        return jnp.concatenate([t[k:], jnp.repeat(t[-1:], k, axis=0)], axis=0)
-
-    def even(t):  # t[::2, ::2] via the pooling path (see kernels/decimate)
-        import jax as _jax
-
+    def phase(a, b):  # qpad[a::2, b::2] as an (h2+1, w2+1) plane
         return _jax.lax.reduce_window(
-            t, jnp.zeros((), t.dtype), _jax.lax.add,
+            q[a : a + 2 * h2 + 1, b : b + 2 * w2 + 1],
+            jnp.zeros((), q.dtype), _jax.lax.add,
             window_dimensions=(1, 1), window_strides=(2, 2),
             padding="VALID",
         )
 
+    p = [[phase(a, b) for b in range(2)] for a in range(2)]
     vals = []
     for r in range(4):
-        ty = shift_y(q, r)
         for c in range(4):
-            vals.append(even(shift_x(ty, c)))
+            pl = p[r % 2][c % 2]
+            vals.append(pl[r // 2 : r // 2 + h2, c // 2 : c // 2 + w2])
     packed = [vals[2 * j] | (vals[2 * j + 1] << 16) for j in range(8)]
     return jnp.stack(packed, axis=-1).reshape(-1, 8)
 
