@@ -118,6 +118,56 @@ class MultiViewRenderer:
             )
             return body(scene, ibl, params, shadow_quads)
 
+        @functools.partial(jax.jit, static_argnames=("has_shadow_light",))
+        def sequence(scene, ibl, params_seq, shadow_quads, has_shadow_light):
+            # K camera-path steps x V views in ONE dispatch: shard_map
+            # over views, lax.scan over steps inside each shard.  The
+            # per-dispatch floor and the per-step host work (K*V param
+            # uploads, K schedule runs) amortize K-fold — the offline
+            # camera-path shape of BASELINE configs[4] (the per-frame
+            # interactive path stays render_views_device; a K-frame scan
+            # LOSES there, NOTES_PERF.md).
+            def shard_body(scene, ibl, pseq, shadow_quads):
+                def step(ovf, p):
+                    rgba, o = shard_frames(scene, ibl, p, shadow_quads)
+                    return ovf + o.max(axis=0), rgba
+
+                def shard_frames(scene, ibl, params, shadow_quads):
+                    v_local = params["proj_view"].shape[0]
+                    frames, ovfs = [], []
+                    for i in range(v_local):
+                        rgba, ovf = frame_program(
+                            scene, ibl,
+                            {k: v[i] for k, v in params.items()},
+                            cfg=cfg, pad_w=inner.pad_w, pad_h=inner.pad_h,
+                            binned_cap=inner._binned_cap,
+                            has_shadow_light=has_shadow_light,
+                            fast_sampling=inner._fast,
+                            slot_map=inner._slot_map,
+                            shadow_quads=shadow_quads,
+                            static_light_count=inner._n_lights,
+                            with_overflow=True,
+                        )
+                        frames.append(rgba)
+                        ovfs.append(ovf)
+                    return jnp.stack(frames), jnp.stack(ovfs)
+
+                ovf, frames = jax.lax.scan(
+                    step, jnp.zeros((2,), jnp.int32), pseq
+                )
+                # (K, v_local, H, W), (1, 2) per-shard overflow
+                return frames, ovf[None]
+
+            body = jax.shard_map(
+                shard_body,
+                mesh=mesh,
+                in_specs=(P(), P(), P(None, axis), P()),
+                out_specs=(P(None, axis), P(axis)),
+                check_vma=False,
+            )
+            return body(scene, ibl, params_seq, shadow_quads)
+
+        self._sequence_fn = sequence
         self._n_dev = n_dev
         return frame
 
@@ -152,6 +202,45 @@ class MultiViewRenderer:
         quads = self._inner._cached_shadow_quads(light_pv, has_light)
         frames, overflow = self._frame_fn(
             self.scene, ibl_maps, params, quads, has_shadow_light=has_light
+        )
+        self._inner._note_overflow(overflow.max(axis=0))
+        return frames
+
+    def render_view_sequence_device(self, camera_steps, world):
+        """K camera-path steps x V views in ONE dispatch, left on device
+        as a (K, V_pad, H, W) packed-rgba8 uint32 stack — the offline
+        camera-path analog of ``Renderer.render_sequence_device``
+        composed with view data-parallelism (BASELINE configs[4]'s
+        120-frame path).  The per-dispatch floor and per-step host work
+        amortize over K; the scene is frame-invariant within the
+        sequence (lights may move per step via each step's params).
+
+        camera_steps: list over steps; each entry a list of per-view
+        ``CameraParams`` (``build_camera_params``), all the same length.
+        """
+        if self._frame_fn is None:
+            self.prepare(world)
+        from ..scene.scene_buffers import refresh_transforms
+
+        self._inner.scene = refresh_transforms(self._inner.scene)
+        light_pv, has_light = find_shadow_light(world)
+        n_dev = self.mesh.devices.size
+        v = len(camera_steps[0])
+        v_pad = ((v + n_dev - 1) // n_dev) * n_dev
+        per_step = []
+        for step in camera_steps:
+            assert len(step) == v, "ragged camera_steps"
+            per_step.append(stack_params(list(step) + [step[-1]] * (v_pad - v)))
+        seq = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *per_step
+        )  # leaves (K, V_pad, ...)
+        seq = jax.device_put(
+            seq, NamedSharding(self.mesh, P(None, self.axis))
+        )
+        ibl_maps = self.ibl.maps() if self.ibl is not None else None
+        quads = self._inner._cached_shadow_quads(light_pv, has_light)
+        frames, overflow = self._sequence_fn(
+            self.scene, ibl_maps, seq, quads, has_shadow_light=has_light
         )
         self._inner._note_overflow(overflow.max(axis=0))
         return frames

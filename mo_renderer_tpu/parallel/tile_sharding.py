@@ -62,6 +62,61 @@ def _shadow_quads_replicated(scene, vs, cfg, binned_cap):
     return _pcf_build(cfg)(shadow_map), overflow
 
 
+def shadow_bands_divisible(cfg, n_devices: int) -> bool:
+    """The shadow map splits into whole tile-row bands per device."""
+    return cfg.shadow_map_size % (n_devices * cfg.tile_h) == 0
+
+
+def _shadow_quads_banded(scene, vs, cfg, binned_cap, axis_name, n_devices):
+    """Shadow raster band-sharded over the mesh (VERDICT r3 #4).
+
+    The shadow map is light-space, so its rows are unrelated to the
+    frame's screen bands — but it is band-splittable by the SAME
+    ``rasterize(tile_row_offset=...)`` machinery: triangle setup +
+    binning stay replicated (tiny), each device rasterizes
+    ``shadow_map_size / n`` rows of the 2048^2 target, and ONE
+    ``all_gather`` reassembles the full map everywhere (every screen
+    pixel may sample any light-space texel, so the PCF window table
+    must be fully replicated).  Collective cost: each device contributes
+    its (smap/n, smap) f32 band — smap^2 * 4B gathered per frame
+    (16 MB at 2048^2, ~0.4 ms over ICI) against the ~n-fold cut of the
+    shadow raster, the previously-largest replicated stage
+    (NOTES_PERF.md multi-chip cost model).  Output is bit-identical to
+    the replicated raster: bands partition the tile grid and the
+    depth/tie rule is tile-local."""
+    from ..passes.frame_graph import _pcf_build
+
+    smap = cfg.shadow_map_size
+    s_setup = triangle_setup(
+        vs.shadow_clip, scene.indices, scene.tri_valid, smap, smap,
+        cull_backface=False,
+        depth_bias_const=cfg.shadow_depth_bias_const,
+        depth_bias_slope=cfg.shadow_depth_bias_slope,
+    )
+    bin_h = cfg.tile_h // cfg.raster_sub_y
+    s_binned = bin_triangles(
+        s_setup,
+        tile_h=bin_h, tile_w=cfg.tile_w,
+        n_tiles_x=smap // cfg.tile_w,
+        n_tiles_y=smap // bin_h,
+        max_tiles_per_tri=8,
+        binned_cap=binned_cap,
+        global_cap=512,
+    )
+    d = jax.lax.axis_index(axis_name)
+    tiles_per_band = smap // cfg.tile_h // n_devices
+    _, band, _, _ = rasterize(
+        s_binned, width=smap, height=smap // n_devices,
+        tile_h=cfg.tile_h, tile_w=cfg.tile_w, depth_only=True,
+        sub_y=cfg.raster_sub_y,
+        tile_row_offset=d * tiles_per_band,
+    )
+    shadow_map = jax.lax.all_gather(
+        band, axis_name, axis=0, tiled=True
+    )  # (smap, smap) full map on every device
+    return _pcf_build(cfg)(shadow_map), s_binned.overflow
+
+
 def row_sharded_frame_body(
     scene, ibl, params, *, cfg, pad_w, pad_h, pad_h_split, binned_cap,
     has_shadow_light, slot_map, static_light_count, axis_name, n_devices,
@@ -87,9 +142,14 @@ def row_sharded_frame_body(
     shadow_overflow = jnp.zeros((), jnp.int32)
     shadow_quads = None
     if cfg.shadow_enabled and has_shadow_light:
-        shadow_quads, shadow_overflow = _shadow_quads_replicated(
-            scene, vs, cfg, binned_cap
-        )
+        if shadow_bands_divisible(cfg, n_devices):
+            shadow_quads, shadow_overflow = _shadow_quads_banded(
+                scene, vs, cfg, binned_cap, axis_name, n_devices
+            )
+        else:  # odd map/tile/device combination: replicated fallback
+            shadow_quads, shadow_overflow = _shadow_quads_replicated(
+                scene, vs, cfg, binned_cap
+            )
 
     # global setup + binning (replicated; the raster slices its band)
     setup = triangle_setup(

