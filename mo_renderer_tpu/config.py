@@ -87,6 +87,15 @@ class EngineConfig:
     # and sponza — 16-row bins lose ~0.4ms to per-run overhead at either
     # tile_h.  Output is bit-identical across values.
     raster_sub_y: int | None = None
+    # Horizontal analog of raster_sub_y: each raster grid step covers
+    # raster_sub_x adjacent 128-lane bin COLUMNS (output block
+    # tile_h x sub_x*128), shrinking the grid — and its dominant
+    # per-step overhead — sub_x-fold with the per-pair pixel footprint
+    # unchanged.  Applied per raster target only when the padded width
+    # divides by sub_x*tile_w (1920 allows 3/5/15; the 2048 shadow map
+    # allows 2/4/...), falling back to 1 otherwise.  Output is
+    # bit-identical across values.
+    raster_sub_x: int = 1
     # Capacity of the per-tile (tile, triangle) pair table built by
     # bin_triangles.  None = heuristic (4x the triangle count, clamped to
     # [8192, 2^20]).  Overflow is detected at runtime (Renderer surfaces

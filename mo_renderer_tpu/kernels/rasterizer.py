@@ -363,19 +363,25 @@ def rasterize_attrs(
     return tri, z, tuple(outs[2 : 2 + n_interp]), outs[-2], outs[-1]
 
 
-def _make_kernel(tile_h, tile_w, n_tiles_x, global_cap, mode, n_tiles,
-                 sub_y=1):
+def _make_kernel(tile_h, tile_w, n_blocks_x, global_cap, mode, n_tiles,
+                 sub_y=1, sub_x=1):
     # mode: "full" -> (z, tri, b0, b1); "slim" -> (z, tri); "depth" -> (z,)
     depth_only = mode == "depth"
     sub_k = SUB_K_DEPTH if depth_only else SUB_K
-    # sub_y > 1: the (tile_h, tile_w) output block is covered by sub_y
+    # sub_y > 1: the (tile_h, block_w) output block is covered by sub_y
     # vertical sub-runs binned at sub_h = tile_h/sub_y rows.  Each run's
     # candidates are tested against only their sub-block's pixels, so
     # per-pair VPU work drops sub_y-fold for small triangles while the
     # grid (and its per-step overhead — the measured raster floor) stays
     # at the coarse tiling.  Triangles spanning a sub-run boundary are
     # simply binned into both runs.
+    # sub_x > 1 mirrors the trick horizontally: the block is sub_x
+    # bin COLUMNS wide (block_w = sub_x * tile_w) and each grid step
+    # processes its sub_y * sub_x runs — the grid shrinks sub_x-fold
+    # with the per-pair pixel footprint unchanged (vs tile_w=256 bins,
+    # which doubled the footprint and measured worse).
     sub_h = tile_h // sub_y
+    block_w = tile_w * sub_x
     assert tile_h % sub_y == 0 and sub_h % 8 == 0
 
     if mode == "slim":
@@ -386,36 +392,37 @@ def _make_kernel(tile_h, tile_w, n_tiles_x, global_cap, mode, n_tiles,
             return _process_rows(rows, px, py, st, depth_only)
 
     def kernel(
-        runs_ref,  # SMEM (2, n_tiles*sub_y): rows [starts; counts]
+        runs_ref,  # SMEM (2, n_tiles*sub_y*sub_x): rows [starts; counts]
         roff_ref,  # SMEM (1, 1): tile-row offset of this band
         gcount_ref,  # SMEM (1, 1)
         gdata_ref,  # VMEM (G, 16)
         hbm_ref,  # ANY/HBM (P+K, 16)
-        *refs,  # out blocks (TH, TW): z[, tri, b0, b1]; then buf, sem
+        *refs,  # out blocks (TH, BW): z[, tri, b0, b1]; then buf, sem
     ):
         out_refs = refs[:-2]
         buf, sem = refs[-2], refs[-1]
         i = pl.program_id(0)
-        ty_l = i // n_tiles_x
-        tx = i % n_tiles_x
+        ty_l = i // n_blocks_x
+        tx = i % n_blocks_x
         ty = ty_l + roff_ref[0, 0]
-        ox = (tx * tile_w).astype(jnp.float32)
         iy = jax.lax.broadcasted_iota(jnp.int32, (sub_h, tile_w), 0)
         ix = jax.lax.broadcasted_iota(jnp.int32, (sub_h, tile_w), 1)
-        px = ox + 0.5 + ix.astype(jnp.float32)
 
         # clear the whole block (depth-only keeps a single z plane)
-        out_refs[0][:] = jnp.full((tile_h, tile_w), FAR_DEPTH, jnp.float32)
+        out_refs[0][:] = jnp.full((tile_h, block_w), FAR_DEPTH, jnp.float32)
         if mode != "depth":
-            out_refs[1][:] = jnp.full((tile_h, tile_w), -1.0, jnp.float32)
+            out_refs[1][:] = jnp.full((tile_h, block_w), -1.0, jnp.float32)
         if mode == "full":
-            out_refs[2][:] = jnp.zeros((tile_h, tile_w), jnp.float32)
-            out_refs[3][:] = jnp.zeros((tile_h, tile_w), jnp.float32)
+            out_refs[2][:] = jnp.zeros((tile_h, block_w), jnp.float32)
+            out_refs[3][:] = jnp.zeros((tile_h, block_w), jnp.float32)
 
         gcount = gcount_ref[0, 0]
-        # sub-run index: runs are binned row-major at sub_h granularity,
-        # so block (ty_l, tx)'s s-th sub-run is (ty_l*sub_y + s) run rows in
-        r0 = (ty_l * sub_y) * n_tiles_x + tx
+        # run index: runs are binned row-major at (sub_h, tile_w)
+        # granularity over n_blocks_x*sub_x bin columns; block
+        # (ty_l, tx)'s (s, c) sub-run is bin row ty_l*sub_y + s,
+        # bin col tx*sub_x + c
+        n_bins_x = n_blocks_x * sub_x
+        r0 = (ty_l * sub_y) * n_bins_x + tx * sub_x
 
         def first_dma(r):
             # first batch of run r into the prefetch slot
@@ -430,92 +437,104 @@ def _make_kernel(tile_h, tile_w, n_tiles_x, global_cap, mode, n_tiles,
             first_dma(0).start()  # nobody prefetched for sub-run 0
 
         for s in range(sub_y):
-            r = r0 + s * n_tiles_x
             oy = (ty * tile_h + s * sub_h).astype(jnp.float32)
             py = oy + 0.5 + iy.astype(jnp.float32)
             lo, hi = s * sub_h, (s + 1) * sub_h
+            for c in range(sub_x):
+                r = r0 + s * n_bins_x + c
+                ox = (tx * block_w + c * tile_w).astype(jnp.float32)
+                px = ox + 0.5 + ix.astype(jnp.float32)
+                cl, cr = c * tile_w, (c + 1) * tile_w
 
-            def read_state():
-                return tuple(rf[lo:hi, :] for rf in out_refs)
+                def read_state():
+                    return tuple(rf[lo:hi, cl:cr] for rf in out_refs)
 
-            def write_state(st):
-                for rf, v in zip(out_refs, st):
-                    rf[lo:hi, :] = v
+                def write_state(st):
+                    for rf, v in zip(out_refs, st):
+                        rf[lo:hi, cl:cr] = v
 
-            # --- global (huge-triangle) list, VMEM resident -------------
-            @pl.when(gcount > 0)
-            def _():
-                # dynamic trip count (not a static global_cap//K unroll of
-                # lax.conds: Mosaic branch overhead scales with the unroll,
-                # and gcount is usually a handful of batches)
-                def gbody(j, st):
-                    return process(
-                        gdata_ref[pl.ds(j * sub_k, sub_k), :], px, py, st
+                # --- global (huge-triangle) list, VMEM resident ---------
+                @pl.when(gcount > 0)
+                def _():
+                    # dynamic trip count (not a static global_cap//K
+                    # unroll of lax.conds: Mosaic branch overhead scales
+                    # with the unroll, and gcount is usually a handful
+                    # of batches)
+                    def gbody(j, st):
+                        return process(
+                            gdata_ref[pl.ds(j * sub_k, sub_k), :], px, py, st
+                        )
+
+                    st = jax.lax.fori_loop(
+                        0, pl.cdiv(gcount, sub_k), gbody, read_state()
+                    )
+                    write_state(st)
+
+                # --- per-run double-buffered DMA -------------------------
+                # Batch 0 lives in slot 2: it was prefetched by the
+                # PREVIOUS sub-run (the tile sort lays runs back to back
+                # in HBM), so the first-batch DMA latency — the dominant
+                # raster overhead at the typical 1-2 batches/run —
+                # overlaps the previous run's compute.
+                start = runs_ref[0, r]
+                count = runs_ref[1, r]
+                nb = pl.cdiv(count, sub_k)
+
+                def get_dma(slot, j, start=start):
+                    return pltpu.make_async_copy(
+                        hbm_ref.at[pl.ds(start + j * sub_k, sub_k), :],
+                        buf.at[slot],
+                        sem.at[slot],
                     )
 
-                st = jax.lax.fori_loop(
-                    0, pl.cdiv(gcount, sub_k), gbody, read_state()
-                )
-                write_state(st)
-
-            # --- per-run double-buffered DMA -----------------------------
-            # Batch 0 lives in slot 2: it was prefetched by the PREVIOUS
-            # sub-run (the tile sort lays runs back to back in HBM), so the
-            # first-batch DMA latency — the dominant raster overhead at the
-            # typical 1-2 batches/run — overlaps the previous run's compute.
-            start = runs_ref[0, r]
-            count = runs_ref[1, r]
-            nb = pl.cdiv(count, sub_k)
-
-            def get_dma(slot, j, start=start):
-                return pltpu.make_async_copy(
-                    hbm_ref.at[pl.ds(start + j * sub_k, sub_k), :],
-                    buf.at[slot],
-                    sem.at[slot],
-                )
-
-            @pl.when(nb > 0)
-            def _():
-                @pl.when(nb > 1)
+                @pl.when(nb > 0)
                 def _():
-                    get_dma(0, 1).start()
-
-                get_dma(2, 0).wait()
-                st0 = process(buf[2], px, py, read_state())
-
-                def body(j, st):
-                    slot = jax.lax.rem(j - 1, 2)
-
-                    @pl.when(j + 1 < nb)
+                    @pl.when(nb > 1)
                     def _():
-                        get_dma(1 - slot, j + 1).start()
+                        get_dma(0, 1).start()
 
-                    get_dma(slot, j).wait()
-                    return process(buf[slot], px, py, st)
+                    get_dma(2, 0).wait()
+                    st0 = process(buf[2], px, py, read_state())
 
-                st = jax.lax.fori_loop(1, nb, body, st0)
-                write_state(st)
+                    def body(j, st):
+                        slot = jax.lax.rem(j - 1, 2)
 
-            # prefetch the NEXT sub-run's first batch into slot 2 (started
-            # iff that run is non-empty — it waits iff non-empty, so every
-            # DMA is waited exactly once)
-            if s < sub_y - 1:
-                nr = r + n_tiles_x
+                        @pl.when(j + 1 < nb)
+                        def _():
+                            get_dma(1 - slot, j + 1).start()
 
-                @pl.when(runs_ref[1, nr] > 0)
-                def _():
-                    first_dma(nr).start()
-            elif n_tiles > 1:
+                        get_dma(slot, j).wait()
+                        return process(buf[slot], px, py, st)
 
-                @pl.when(i + 1 < n_tiles)
-                def _():
-                    ty2 = (i + 1) // n_tiles_x
-                    tx2 = (i + 1) % n_tiles_x
-                    nr = (ty2 * sub_y) * n_tiles_x + tx2
+                    st = jax.lax.fori_loop(1, nb, body, st0)
+                    write_state(st)
+
+                # prefetch the NEXT sub-run's first batch into slot 2
+                # (started iff that run is non-empty — it waits iff
+                # non-empty, so every DMA is waited exactly once)
+                if c < sub_x - 1:
+                    nr = r + 1
 
                     @pl.when(runs_ref[1, nr] > 0)
                     def _():
                         first_dma(nr).start()
+                elif s < sub_y - 1:
+                    nr = r0 + (s + 1) * n_bins_x
+
+                    @pl.when(runs_ref[1, nr] > 0)
+                    def _():
+                        first_dma(nr).start()
+                elif n_tiles > 1:
+
+                    @pl.when(i + 1 < n_tiles)
+                    def _():
+                        ty2 = (i + 1) // n_blocks_x
+                        tx2 = (i + 1) % n_blocks_x
+                        nr = (ty2 * sub_y) * n_bins_x + tx2 * sub_x
+
+                        @pl.when(runs_ref[1, nr] > 0)
+                        def _():
+                            first_dma(nr).start()
 
     return kernel
 
@@ -523,7 +542,8 @@ def _make_kernel(tile_h, tile_w, n_tiles_x, global_cap, mode, n_tiles,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "tile_h", "tile_w", "depth_only", "slim", "sub_y"
+        "width", "height", "tile_h", "tile_w", "depth_only", "slim",
+        "sub_y", "sub_x",
     ),
 )
 def rasterize(
@@ -536,6 +556,7 @@ def rasterize(
     depth_only: bool = False,
     slim: bool = False,
     sub_y: int = 1,
+    sub_x: int = 1,
     tile_row_offset=0,
 ):
     """Rasterize binned triangles into a visibility buffer.
@@ -556,6 +577,11 @@ def rasterize(
     tested against sub_y-fold fewer pixels while the grid — and its
     dominant per-step overhead — stays at the coarse tiling.
 
+    sub_x > 1 widens each grid step to sub_x adjacent bin COLUMNS
+    (output block tile_h x sub_x*tile_w; width must divide by it): the
+    grid shrinks sub_x-fold with the per-pair pixel footprint still
+    (sub_h, tile_w).  Output is bit-identical across sub_x.
+
     tile_row_offset (int or traced scalar) > 0 renders only the
     ``height``-tall horizontal band starting at pixel row
     tile_row_offset*tile_h of the binned frame (binned must have been
@@ -563,11 +589,12 @@ def rasterize(
     each device its band (offset = axis_index * tiles-per-band), all
     reading the same global binned runs.
     """
-    assert width % tile_w == 0 and height % tile_h == 0
-    n_tiles_x = width // tile_w
+    block_w = tile_w * sub_x
+    assert width % block_w == 0 and height % tile_h == 0
+    n_blocks_x = width // block_w
     n_tiles_y = height // tile_h
-    n_tiles = n_tiles_x * n_tiles_y
-    n_runs = n_tiles * sub_y
+    n_tiles = n_blocks_x * n_tiles_y
+    n_runs = n_tiles * sub_y * sub_x
 
     # Mosaic DMA slices must be 128-lane aligned: pad tri rows 16 -> 128
     # floats.  Also pad the run buffer so the last sub-batch never reads OOB.
@@ -587,7 +614,9 @@ def rasterize(
     hbm_data = binned.binned_data
     global_data = pad_rows(binned.global_data)
     # SMEM rows are padded to 128 lanes: shape (2, n_runs), not (n_runs, 2)
-    t0 = jnp.asarray(tile_row_offset, jnp.int32) * (sub_y * n_tiles_x)
+    t0 = jnp.asarray(tile_row_offset, jnp.int32) * (
+        sub_y * n_blocks_x * sub_x
+    )
     runs = jnp.stack(
         [
             jax.lax.dynamic_slice_in_dim(binned.tile_start, t0, n_runs),
@@ -602,8 +631,8 @@ def rasterize(
 
     mode = "depth" if depth_only else ("slim" if slim else "full")
     kernel = _make_kernel(
-        tile_h, tile_w, n_tiles_x, binned.global_data.shape[0], mode,
-        n_tiles, sub_y
+        tile_h, tile_w, n_blocks_x, binned.global_data.shape[0], mode,
+        n_tiles, sub_y, sub_x
     )
 
     n_out = {"depth": 1, "slim": 2, "full": 4}[mode]
@@ -612,8 +641,8 @@ def rasterize(
         for _ in range(n_out)
     ]
     tile_spec = pl.BlockSpec(
-        (tile_h, tile_w),
-        lambda i: (i // n_tiles_x, i % n_tiles_x),
+        (tile_h, block_w),
+        lambda i: (i // n_blocks_x, i % n_blocks_x),
         memory_space=pltpu.VMEM,
     )
 

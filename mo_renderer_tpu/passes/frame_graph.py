@@ -164,6 +164,14 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def _sub_x_for(cfg, width: int) -> int:
+    """cfg.raster_sub_x when the target width divides by the widened
+    raster block, else 1 (per-target: 1920 allows 3, the 2048 shadow
+    map allows 2)."""
+    sx = cfg.raster_sub_x
+    return sx if sx > 1 and width % (cfg.tile_w * sx) == 0 else 1
+
+
 def _shadow_map_from_clip(shadow_clip, scene, *, cfg, binned_cap):
     """Depth-only raster of the scene from light-space clip positions
     (shadow_pass.rs semantics: no culling, depth bias 2/2).
@@ -190,7 +198,7 @@ def _shadow_map_from_clip(shadow_clip, scene, *, cfg, binned_cap):
     _, shadow_map, _, _ = rasterize(
         s_binned, width=smap, height=smap,
         tile_h=cfg.tile_h, tile_w=cfg.tile_w, depth_only=True,
-        sub_y=cfg.raster_sub_y,
+        sub_y=cfg.raster_sub_y, sub_x=_sub_x_for(cfg, smap),
     )
     return shadow_map, s_binned.overflow
 
@@ -315,7 +323,7 @@ def frame_program(
         tri, z, b0, b1 = rasterize(
             binned, width=pad_w, height=pad_h,
             tile_h=cfg.tile_h, tile_w=cfg.tile_w, slim=fast,
-            sub_y=cfg.raster_sub_y,
+            sub_y=cfg.raster_sub_y, sub_x=_sub_x_for(cfg, pad_w),
         )
         if use_cb:
             tri_full, z_full = tri, z
@@ -655,10 +663,29 @@ class Renderer:
     def frame_params(self, world) -> tuple[dict, bool]:
         camera: Camera = world.resource(Camera)
         light_pv, has_light = find_shadow_light(world)
-        params = build_camera_params(
-            camera, light_pv, prev=getattr(self, "_params_prev", None)
+        # input fingerprint fast path: when the camera TRS/projection and
+        # the light matrix are byte-identical to last frame AND the
+        # packed UBO has converged (prev_view == view — true from the
+        # second static frame, since refresh_view rolls prev <- view
+        # every frame), skip the whole numpy rebuild, not just the
+        # upload.  ~0.4ms/frame of host time on the idle frame loop.
+        fp = (
+            np.asarray(camera.transform.translation).tobytes(),
+            np.asarray(camera.transform.rotation).tobytes(),
+            camera.projection().tobytes(),
+            np.asarray(light_pv).tobytes(),
         )
+        prev = getattr(self, "_params_prev", None)
+        if (
+            prev is not None
+            and prev.host is not None
+            and getattr(self, "_params_fp", None) == fp
+            and np.array_equal(prev.host[16:32], prev.host[0:16])
+        ):
+            return prev, has_light
+        params = build_camera_params(camera, light_pv, prev=prev)
         self._params_prev = params
+        self._params_fp = fp
         return params, has_light
 
     def render_device(self, world):

@@ -208,31 +208,37 @@ class Camera:
             camera.transform.rotation = quat.normalize(_from_euler_yxz(yaw, pitch, 0.0))
             camera.is_dirty = True
 
-        direction = camera.direction()
-        right = np.cross(direction, np.array([0.0, 1.0, 0.0], np.float32))
-        right = right / np.linalg.norm(right)
-
-        movement = np.zeros(3, np.float32)
         act = input_res.is_activated
-        if act(EInputButton.key("W")):
-            movement += direction * dt
-        if act(EInputButton.key("A")):
-            movement -= right * dt
-        if act(EInputButton.key("S")):
-            movement -= direction * dt
-        if act(EInputButton.key("D")):
-            movement += right * dt
-        if act(EInputButton.key("E")):
-            movement += np.array([0.0, dt, 0.0], np.float32)
-        if act(EInputButton.key("Q")):
-            movement -= np.array([0.0, dt, 0.0], np.float32)
+        keys = [act(EInputButton.key(k)) for k in "WASDEQ"]
+        if any(keys):
+            # movement math only when a key is down: the idle frame loop
+            # runs this system every frame (mod.rs:198) and the numpy
+            # cross/normalize chain is measurable host time per frame
+            kw, ka, ks, kd, ke, kq = keys
+            direction = camera.direction()
+            right = np.cross(direction, np.array([0.0, 1.0, 0.0], np.float32))
+            right = right / np.linalg.norm(right)
 
-        n = np.linalg.norm(movement)
-        if n > 0.0:
-            camera.transform.translation = (
-                camera.transform.translation + movement / n * move_speed
-            )
-            camera.is_dirty = True
+            movement = np.zeros(3, np.float32)
+            if kw:
+                movement += direction * dt
+            if ka:
+                movement -= right * dt
+            if ks:
+                movement -= direction * dt
+            if kd:
+                movement += right * dt
+            if ke:
+                movement += np.array([0.0, dt, 0.0], np.float32)
+            if kq:
+                movement -= np.array([0.0, dt, 0.0], np.float32)
+
+            n = np.linalg.norm(movement)
+            if n > 0.0:
+                camera.transform.translation = (
+                    camera.transform.translation + movement / n * move_speed
+                )
+                camera.is_dirty = True
 
         if not camera.is_dirty:
             return

@@ -42,7 +42,19 @@ class DirectionalLight:
         direction = -transform.direction(); look_at_rh from the light
         position along it; orthographic_rh with **bottom/top swapped**
         (+h, -h) for the Vulkan Y flip; near 0.1, far 100.
+
+        Memoized on the raw TRS + extents: the per-frame host loop calls
+        this every frame (find_shadow_light) and the matrix math is
+        ~0.1ms of numpy for a light that almost never moves.
         """
+        key = (
+            tuple(np.asarray(self.transform.translation).tolist()),
+            tuple(np.asarray(self.transform.rotation).tolist()),
+            self.shadow_width, self.shadow_height,
+        )
+        cached = getattr(self, "_pv_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
         direction = -self.transform.direction()
         right = np.cross(direction, np.array([0.0, 1.0, 0.0], np.float32))
         right = right / np.linalg.norm(right)
@@ -58,7 +70,9 @@ class DirectionalLight:
             0.1,
             100.0,
         )
-        return (proj @ view).astype(np.float32)
+        pv = (proj @ view).astype(np.float32)
+        self._pv_cache = (key, pv)
+        return pv
 
     def gpu_light(self) -> np.ndarray:
         """Pack into the 20-float GpuLight record exactly as

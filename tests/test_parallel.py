@@ -128,6 +128,33 @@ def test_tile_sharded_matches_single_checkerboard():
     assert len(bad_rows) <= 4 * 8, f"diff rows {bad_rows}"
 
 
+def test_multiview_sequence_matches_per_step(tiny_setup):
+    """The scanned camera-path renderer (K steps per dispatch) must be
+    bit-identical to K per-step render_views_device dispatches."""
+    cfg, world = tiny_setup
+    from mo_renderer_tpu.passes.frame_graph import build_camera_params
+    from mo_renderer_tpu.scene.scene_buffers import find_shadow_light
+
+    mesh = make_view_mesh(jax.devices()[:2])
+    mv = MultiViewRenderer(cfg, mesh)
+    mv.prepare(world)
+    light_pv, _ = find_shadow_light(world)
+    k, v = 3, 2
+    rigs = [
+        [graft._camera(cfg, angle=0.4 * s + 1.5 * i) for i in range(v)]
+        for s in range(k)
+    ]
+    steps = [
+        [build_camera_params(c, light_pv) for c in rig] for rig in rigs
+    ]
+    seq = np.asarray(mv.render_view_sequence_device(steps, world))
+    assert seq.shape[:2] == (k, v)
+    for s in range(k):
+        per_step = np.asarray(mv.render_views_device(rigs[s], world))
+        np.testing.assert_array_equal(seq[s], per_step, err_msg=f"step {s}")
+    mv.check_overflow()
+
+
 def test_multiview_matches_single_view(tiny_setup):
     cfg, world = tiny_setup
     from mo_renderer_tpu.passes.frame_graph import Renderer

@@ -343,3 +343,53 @@ def test_sub_tile_runs_match_whole_tile():
     np.testing.assert_array_equal(
         np.asarray(z_band), np.asarray(ref[1])[32:64]
     )
+
+
+def test_sub_x_columns_match_single_column():
+    """sub_x=2 (one grid step covers two 128-lane bin columns) must be
+    bit-identical to sub_x=1 in every kernel mode, alone and combined
+    with sub_y and with a banded render."""
+    rng = np.random.RandomState(13)
+    n_tri = 150
+    pts = rng.uniform([-30, -20], [W + 30, H + 20], size=(n_tri * 3, 2))
+    z = rng.uniform(0.0, 1.0, size=n_tri * 3).astype(np.float32)
+    clip = clip_from_screen(pts.astype(np.float32), z)
+    idx = np.arange(n_tri * 3, dtype=np.int32).reshape(n_tri, 3)
+    setup = triangle_setup(
+        jnp.asarray(clip), jnp.asarray(idx), jnp.ones(n_tri, bool),
+        W, H, cull_backface=False,
+    )
+
+    def bin_at(h):
+        return bin_triangles(
+            setup, tile_h=h, tile_w=128, n_tiles_x=W // 128,
+            n_tiles_y=H // h, max_tiles_per_tri=8,
+            binned_cap=8192, global_cap=64,
+        )
+
+    b32 = bin_at(32)
+    ref = rasterize(b32, width=W, height=H, tile_h=32)
+    for mode in ({}, {"slim": True}, {"depth_only": True}):
+        got = rasterize(
+            b32, width=W, height=H, tile_h=32, sub_x=2, **mode
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got[1]), np.asarray(ref[1]), err_msg=f"sub_x {mode}"
+        )
+        if not mode.get("depth_only"):
+            np.testing.assert_array_equal(
+                np.asarray(got[0]), np.asarray(ref[0])
+            )
+
+    # combined sub_y x sub_x, plus a banded middle-band render
+    b16 = bin_at(16)
+    got = rasterize(b16, width=W, height=H, tile_h=32, sub_y=2, sub_x=2)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+    _, z_band, _, _ = rasterize(
+        b16, width=W, height=32, tile_h=32, sub_y=2, sub_x=2,
+        tile_row_offset=1,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(z_band), np.asarray(ref[1])[32:64]
+    )
