@@ -58,12 +58,17 @@ class EngineConfig:
     shadow_enabled: bool = True
     # Memoize the shadow map across frames while the caster light and all
     # entity transforms are unchanged (bit-identical output — the map is
-    # a pure function of scene + light_proj_view).  Default OFF: on the
-    # current backend, feeding the 134MB quad table as a jit argument
-    # costs ~90ms/frame — far more than the ~14ms of raster it saves
-    # (NOTES_PERF.md).  Useful only for multi-view rigs with many views
-    # per shadow.
-    shadow_cache: bool = False
+    # a pure function of scene + light_proj_view; the key covers both).
+    # Default ON: with the 34MB half-anchor u16 window table the memoized
+    # table rides the frame dispatch for free (measured 16.71 -> 15.28
+    # ms/frame at 1080p, scripts/perf_shadow_cache.py — the round-1
+    # "90ms/frame argument tax" was specific to the retired 134MB f32
+    # layout), so static-light frames skip the whole shadow raster +
+    # window build.  Dynamic scenes recompute the table in its own
+    # dispatch on every change — roughly the same work the in-frame
+    # raster did; set False to fold the shadow raster back into the
+    # frame program (e.g. a light animated every frame).
+    shadow_cache: bool = True
 
     # Rasterizer tiling. Pixel tiles are (tile_h, tile_w); tile_w must be a
     # multiple of 128 (TPU lane count), tile_h a multiple of 8.  Raster

@@ -621,11 +621,11 @@ class Renderer:
             self._shadow_quads, ovf = self._shadow_fn(
                 self.scene, jnp.asarray(light_pv)
             )
-            if int(np.asarray(ovf)):
-                raise RuntimeError(
-                    f"shadow raster bin overflow: {int(np.asarray(ovf))} "
-                    f"pairs dropped; raise EngineConfig.binned_cap"
-                )
+            # surface overflow through the lagged pipeline (a synchronous
+            # fetch here would stall dynamic scenes every recompute)
+            self._note_overflow(
+                jnp.stack([jnp.zeros((), jnp.int32), ovf])
+            )
             self._shadow_key = key
         return self._shadow_quads
 
