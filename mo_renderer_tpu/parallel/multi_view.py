@@ -69,12 +69,23 @@ class MultiViewRenderer:
 
     def prepare(self, world) -> None:
         self._inner.prepare(world)
+        self._prepared_at = self._inner._prepare_count
         self._frame_fn = self._build_frame_fn()
         logger.info(
             "multi-view renderer: mesh %s over %d devices",
             dict(zip(self.mesh.axis_names, self.mesh.devices.shape)),
             self.mesh.devices.size,
         )
+
+    def _sync_topology(self, world) -> None:
+        """Mirror Renderer._sync_topology for the sharded program: apply
+        spawn/despawn incrementally (content-only — the sharded jit keeps
+        working), and rebuild the sharded frame fn iff the inner renderer
+        fell back to a full prepare (its derived statics may change)."""
+        self._inner._sync_topology(world)
+        if self._inner._prepare_count != getattr(self, "_prepared_at", None):
+            self._prepared_at = self._inner._prepare_count
+            self._frame_fn = self._build_frame_fn()
 
     def _build_frame_fn(self):
         cfg = self.config
@@ -187,6 +198,7 @@ class MultiViewRenderer:
             self.prepare(world)
         from ..scene.scene_buffers import refresh_transforms
 
+        self._sync_topology(world)
         self._inner.scene = refresh_transforms(self._inner.scene)
         light_pv, has_light = find_shadow_light(world)
         n_dev = self.mesh.devices.size
@@ -222,6 +234,7 @@ class MultiViewRenderer:
             self.prepare(world)
         from ..scene.scene_buffers import refresh_transforms
 
+        self._sync_topology(world)
         self._inner.scene = refresh_transforms(self._inner.scene)
         light_pv, has_light = find_shadow_light(world)
         n_dev = self.mesh.devices.size

@@ -277,6 +277,7 @@ class TileShardedRenderer:
 
     def prepare(self, world) -> None:
         self._inner.prepare(world)
+        self._prepared_at = self._inner._prepare_count
         if not self._inner._fast:
             raise NotImplementedError(
                 "row sharding requires the fast sampling path"
@@ -332,6 +333,13 @@ class TileShardedRenderer:
 
         if self._frame_fn is None:
             self.prepare(world)
+        # topology changes: incremental repack is content-only (the
+        # sharded jit keeps working); a full-prepare fallback rebuilds
+        # the sharded frame fn too (derived statics may change)
+        self._inner._sync_topology(world)
+        if self._inner._prepare_count != getattr(self, "_prepared_at", None):
+            self._prepared_at = self._inner._prepare_count
+            self._frame_fn = self._build_frame_fn()
         self._inner.scene = refresh_transforms(self._inner.scene)
         params, has_light = self._inner.frame_params(world)
         ibl_maps = self.ibl.maps() if self.ibl is not None else None

@@ -439,6 +439,10 @@ class Renderer:
         from ..assets.ibl_resource import IBLResource
 
         self._world_generation = getattr(world, "generation", None)
+        # bumped on every full prepare so wrappers that close over the
+        # derived statics (_binned_cap/_slot_map/_n_lights — multi-view,
+        # row sharding) know to rebuild their own frame fns
+        self._prepare_count = getattr(self, "_prepare_count", 0) + 1
         self.scene = pack_scene(world, self.config)
         ibl_res = world.get_resource(IBLResource)
         if ibl_res is not None:

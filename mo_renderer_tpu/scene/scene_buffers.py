@@ -846,6 +846,14 @@ def refresh_transforms(scene: SceneBuffers) -> SceneBuffers:
     new_scene._host_mesh_sources = sources
     new_scene._host_worlds_cache = worlds
     new_scene._host_trs_cache = fp
+    # keep the incremental-repack state alive and its host mirrors in
+    # sync: a later spawn re-uploads mesh_world from the mirror, which
+    # would silently revert this transform refresh if left stale
+    st = getattr(scene, "_host_pack", None)
+    if st is not None:
+        st.host["mesh_world"][: len(worlds)] = worlds
+        st.host["mesh_normal_mat"][: len(normals)] = normals
+        new_scene._host_pack = st
     return new_scene
 
 

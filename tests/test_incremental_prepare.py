@@ -111,6 +111,56 @@ def test_light_count_change_falls_back():
     )
 
 
+def test_move_then_spawn_keeps_moved_transform():
+    """Regression: refresh_transforms must keep the incremental pack
+    state's host mirrors in sync — a spawn AFTER a transform move
+    re-uploads mesh_world from the mirror, which would silently revert
+    the move if stale."""
+    world = _base_world()
+    t = Transform.from_xyz(0.0, 0.5, 0.0)
+    world.spawn((t, procedural_model("cube", base_color=(1, 0, 0, 1))))
+    r = _renderer(world)
+    r.render(world)
+
+    # move the cube, render (bakes the new transform)
+    t.translation = np.array([1.0, 0.5, 0.0], np.float32)
+    moved = r.render(world)
+
+    # spawn another (incremental append re-uploads the mesh tables)
+    world.spawn((Transform.from_xyz(-1.0, 0.5, 0.0),
+                 procedural_model("cube", base_color=(0, 0, 1, 1))))
+    after_spawn = r.render(world)
+
+    # from-scratch prepare of the same world is the oracle
+    r2 = Renderer(r.config)
+    r2.prepare(world)
+    np.testing.assert_array_equal(after_spawn, r2.render(world))
+    assert not np.array_equal(moved, after_spawn)  # new cube visible
+
+
+def test_multiview_sees_topology_change():
+    """The sharded renderers must apply spawn/despawn too (they wrap the
+    same packed scene)."""
+    import jax
+
+    from mo_renderer_tpu.parallel import MultiViewRenderer, make_view_mesh
+
+    world = _base_world()
+    import dataclasses
+
+    cfg = dataclasses.replace(graft._tiny_config(), width=128, height=32)
+    cam = graft._camera(cfg)
+    world.insert_resource(cam)
+    mv = MultiViewRenderer(cfg, make_view_mesh(jax.devices()[:2]))
+    mv.prepare(world)
+    f0 = mv.render_views([cam, cam], world)
+
+    world.spawn((Transform.from_xyz(0.0, 0.5, 0.0),
+                 procedural_model("cube", base_color=(1, 0, 0, 1))))
+    f1 = mv.render_views([cam, cam], world)
+    assert not np.array_equal(f0, f1), "spawn not visible in multi-view"
+
+
 def test_sponza_scale_spawn_host_cost():
     """Spawning at ~100-entity scale must not repack the world: the
     incremental path is bounded by tail-row writes + uploads (<50ms host
