@@ -66,6 +66,52 @@ def _path_params(app, n):
     return out
 
 
+def _self_watchdog() -> int:
+    """Re-exec the bench in a monitored child, retrying wedged attempts.
+
+    The remote TPU backend intermittently wedges a fresh process before
+    its first device op (~0 CPU forever; CLAUDE.md).  To keep unattended
+    invocations reliable, the parent spawns `bench.py` with
+    MO_BENCH_DIRECT=1 and kills+retries any attempt that sits below
+    ~15s cumulative CPU after 150s of wall (a healthy run is busy
+    packing/tracing by then).  The child's stdout (the JSON line)
+    streams through.
+    """
+    import subprocess
+
+    me = os.path.abspath(__file__)
+    env = dict(os.environ, MO_BENCH_DIRECT="1")
+    retries = int(os.environ.get("MO_RETRIES", "8"))
+    window = float(os.environ.get("MO_WEDGE_WINDOW", "150"))
+    min_cpu = float(os.environ.get("MO_WEDGE_MIN_CPU", "15"))
+
+    def cpu_seconds(pid):
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                parts = f.read().split()
+            return (int(parts[13]) + int(parts[14])) / os.sysconf("SC_CLK_TCK")
+        except (OSError, IndexError, ValueError):
+            return -1.0
+
+    for _ in range(retries):
+        p = subprocess.Popen([sys.executable, me], env=env)
+        t0 = time.time()
+        while True:
+            rc = p.poll()
+            if rc is not None:
+                if rc == 0:
+                    return 0
+                break  # real failure: retry
+            if time.time() - t0 > window and cpu_seconds(p.pid) < min_cpu:
+                p.kill()
+                p.wait()
+                break  # wedged: retry
+            time.sleep(10)
+        time.sleep(15)
+    print("bench: exhausted retries (backend wedged)", file=sys.stderr)
+    return 1
+
+
 def main():
     app = build_app()
     app.resumed()
@@ -132,4 +178,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("MO_BENCH_DIRECT") or sys.platform != "linux":
+        main()
+    else:
+        sys.exit(_self_watchdog())
