@@ -25,9 +25,13 @@ def main():
     params, has_light = r.frame_params(app.world)
     ibl = r.ibl.maps()
 
+    # production path: memoized shadow quads as an argument (shadow_cache)
+    quads = r._cached_shadow_quads(
+        params.host_field("light_proj_view"), has_light
+    )
     lowered = jax.jit(
-        lambda s, i, p: r._frame_fn(s, i, p, None, has_shadow_light=True)
-    ).lower(r.scene, ibl, params)
+        lambda s, i, p, q: r._frame_fn(s, i, p, q, has_shadow_light=True)
+    ).lower(r.scene, ibl, params, quads)
     txt = lowered.compile().as_text()
     with open(out, "w") as f:
         f.write(txt)

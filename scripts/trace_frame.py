@@ -40,17 +40,28 @@ def capture():
     app = build_app(cfg)
     app.resumed()
     r = app.renderer
-    params, _ = r.frame_params(app.world)
+    params, has_light = r.frame_params(app.world)
     ibl = r.ibl.maps()
+    # the PRODUCTION frame path: with cfg.shadow_cache (default) the
+    # memoized PCF table rides as an argument and the traced program
+    # has no shadow raster; MO_TRACE_NO_SHADOW_CACHE=1 traces the
+    # in-frame-shadow specialization instead
+    quads = (
+        None
+        if os.environ.get("MO_TRACE_NO_SHADOW_CACHE")
+        else r._cached_shadow_quads(
+            params.host_field("light_proj_view"), has_light
+        )
+    )
 
-    f, _ = r._frame_fn(r.scene, ibl, params, None, has_shadow_light=True)
+    f, _ = r._frame_fn(r.scene, ibl, params, quads, has_shadow_light=True)
     np.asarray(f[0, 0])
     print("warm; tracing 5 frames", flush=True)
 
     shutil.rmtree(TRACE_DIR, ignore_errors=True)
     jax.profiler.start_trace(TRACE_DIR)
     for _ in range(5):
-        f, _ = r._frame_fn(r.scene, ibl, params, None, has_shadow_light=True)
+        f, _ = r._frame_fn(r.scene, ibl, params, quads, has_shadow_light=True)
     np.asarray(f[0, 0])
     jax.profiler.stop_trace()
 
