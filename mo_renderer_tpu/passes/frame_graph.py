@@ -524,11 +524,15 @@ class Renderer:
             )
 
         @functools.partial(jax.jit, static_argnames=("has_shadow_light",))
-        def sequence(scene, ibl, params_stack, has_shadow_light):
+        def sequence(scene, ibl, params_stack, shadow_quads,
+                     has_shadow_light):
             # K frames in ONE XLA program: lax.scan over the stacked
             # camera params.  The scene is frame-invariant, so only the
-            # (tiny) params pytree scans; each step is the full frame
-            # (shadow raster included — the light may move per frame).
+            # (tiny) params pytree scans.  shadow_quads is the memoized
+            # PCF table when the light is identical across the WHOLE
+            # sequence (render_sequence_device verifies byte equality);
+            # None re-rasters the shadow inside each scanned step (a
+            # per-frame light ride via the params).
             def body(ovf, p):
                 rgba, o = frame_program(
                     p_scene, ibl, p,
@@ -538,6 +542,7 @@ class Renderer:
                     extra_passes=extra_passes,
                     fast_sampling=fast,
                     slot_map=slot_map,
+                    shadow_quads=shadow_quads,
                     static_light_count=n_lights,
                     with_overflow=True,
                 )
@@ -737,8 +742,23 @@ class Renderer:
             lambda *xs: jnp.stack(xs), *params_list
         )
         ibl_maps = self.ibl.maps() if self.ibl is not None else None
+        # memoized shadow map only when the light matrix is identical
+        # across the WHOLE sequence (each step carries its own
+        # light_proj_view — a moving light must re-raster per step)
+        light_pv, _ = find_shadow_light(world)
+        lpv = np.asarray(light_pv, np.float32).reshape(-1)
+        same_light = all(
+            p.host is not None
+            and np.array_equal(p.host[32:48], lpv)
+            for p in params_list
+        )
+        quads = (
+            self._cached_shadow_quads(light_pv, has_light)
+            if same_light
+            else None
+        )
         frames, overflow = self._sequence_fn(
-            self.scene, ibl_maps, stack, has_shadow_light=has_light
+            self.scene, ibl_maps, stack, quads, has_shadow_light=has_light
         )
         self._note_overflow(overflow)
         return frames
