@@ -251,7 +251,20 @@ class MultiViewRenderer:
             seq, NamedSharding(self.mesh, P(None, self.axis))
         )
         ibl_maps = self.ibl.maps() if self.ibl is not None else None
-        quads = self._inner._cached_shadow_quads(light_pv, has_light)
+        # memoized shadow map only when the light matrix is identical
+        # across EVERY step and view (each step's params carry their own
+        # light_proj_view — a per-step light must re-raster in-scan)
+        lpv = np.asarray(light_pv, np.float32).reshape(-1)
+        same_light = all(
+            p.host is not None and np.array_equal(p.host[32:48], lpv)
+            for step in camera_steps
+            for p in step
+        )
+        quads = (
+            self._inner._cached_shadow_quads(light_pv, has_light)
+            if same_light
+            else None
+        )
         frames, overflow = self._sequence_fn(
             self.scene, ibl_maps, seq, quads, has_shadow_light=has_light
         )

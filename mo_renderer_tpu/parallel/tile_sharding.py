@@ -103,12 +103,14 @@ def _shadow_quads_banded(scene, vs, cfg, binned_cap, axis_name, n_devices):
         binned_cap=binned_cap,
         global_cap=512,
     )
+    from ..passes.frame_graph import _sub_x_for
+
     d = jax.lax.axis_index(axis_name)
     tiles_per_band = smap // cfg.tile_h // n_devices
     _, band, _, _ = rasterize(
         s_binned, width=smap, height=smap // n_devices,
         tile_h=cfg.tile_h, tile_w=cfg.tile_w, depth_only=True,
-        sub_y=cfg.raster_sub_y,
+        sub_y=cfg.raster_sub_y, sub_x=_sub_x_for(cfg, smap),
         tile_row_offset=d * tiles_per_band,
     )
     shadow_map = jax.lax.all_gather(
@@ -277,6 +279,18 @@ class TileShardedRenderer:
 
     def prepare(self, world) -> None:
         self._inner.prepare(world)
+        self._rebuild_frame_fn()
+        logger.info(
+            "tile-sharded renderer: %d tile-row bands over %d devices",
+            self._inner.pad_h // self.config.tile_h,
+            self.mesh.devices.size,
+        )
+
+    def _rebuild_frame_fn(self) -> None:
+        """Validate the inner renderer's mode and (re)build the sharded
+        frame fn — shared by prepare() and the full-prepare-fallback
+        path in render_device, so a topology change that flips the
+        fast-path flag raises instead of silently sampling wrong."""
         self._prepared_at = self._inner._prepare_count
         if not self._inner._fast:
             raise NotImplementedError(
@@ -287,11 +301,6 @@ class TileShardedRenderer:
                 "row sharding does not support the raster megakernel"
             )
         self._frame_fn = self._build_frame_fn()
-        logger.info(
-            "tile-sharded renderer: %d tile-row bands over %d devices",
-            self._inner.pad_h // self.config.tile_h,
-            self.mesh.devices.size,
-        )
 
     def _build_frame_fn(self):
         cfg = self.config
@@ -338,8 +347,7 @@ class TileShardedRenderer:
         # the sharded frame fn too (derived statics may change)
         self._inner._sync_topology(world)
         if self._inner._prepare_count != getattr(self, "_prepared_at", None):
-            self._prepared_at = self._inner._prepare_count
-            self._frame_fn = self._build_frame_fn()
+            self._rebuild_frame_fn()
         self._inner.scene = refresh_transforms(self._inner.scene)
         params, has_light = self._inner.frame_params(world)
         ibl_maps = self.ibl.maps() if self.ibl is not None else None

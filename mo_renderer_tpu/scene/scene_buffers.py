@@ -116,7 +116,13 @@ class SceneBuffers:
 
 @dataclasses.dataclass
 class _EntityRecord:
-    """Packed placement of one (Transform, Model) entity in the soup."""
+    """Packed placement of one (Transform, Model) entity in the soup.
+
+    ``refs`` keeps the (transform, model) objects alive while the record
+    is: identity matching uses their ids, and a freed object's address
+    can be reused by a later allocation — a strong reference makes the
+    collision impossible.  Cleared when the record dies (dead records
+    are never matched)."""
 
     key: tuple  # (id(transform), id(model))
     mesh0: int
@@ -126,6 +132,7 @@ class _EntityRecord:
     nv: int = 0
     nt: int = 0
     alive: bool = True
+    refs: tuple | None = None
 
 
 @dataclasses.dataclass
@@ -182,6 +189,13 @@ def incremental_repack(
     combination, any capacity overflow, a light-count change, or — when
     ``forbid_uv1`` — a new material sampling UV set 1); callers then fall
     back to the full ``pack_scene``.
+
+    EXISTING entities' mesh/material/primitive data is NOT re-read:
+    like the reference (which builds its material SSBO and vertex
+    buffers once at startup, gbuffer_pass.rs:205-244), materials and
+    geometry are baked at pack time — mutate a packed material and you
+    must call ``Renderer.prepare`` explicitly.  Transforms are the
+    dynamic exception (refresh_transforms re-bakes them every frame).
     """
     st = getattr(scene, "_host_pack", None)
     sources = getattr(scene, "_host_mesh_sources", None)
@@ -286,6 +300,7 @@ def incremental_repack(
     changed: set[str] = set()
     for rec in dead:
         rec.alive = False
+        rec.refs = None  # allow GC; dead records are never matched
         h["tri_valid"][rec.t0 : rec.t0 + rec.nt] = False
         changed.add("tri_valid")
 
@@ -293,6 +308,7 @@ def incremental_repack(
         rec = _EntityRecord(
             key=(id(transform), id(model)),
             mesh0=st.m_count, v0=st.v_count, t0=st.t_count,
+            refs=(transform, model),
         )
         entity_world = transform.model_matrix()
         for mesh, (slot_layers, entry) in zip(model.meshes, mesh_plans):
@@ -363,7 +379,13 @@ def incremental_repack(
         new_scene = dataclasses.replace(new_scene, tri_attrs=scene.tri_attrs)
     new_scene._host_mesh_sources = sources
     new_scene._host_worlds_cache = None  # invalidated by the append
-    new_scene._host_trs_cache = _trs_fingerprint(sources)
+    # carry the OLD TRS cache forward, NOT a fresh fingerprint: the mesh
+    # tables were re-uploaded from the last-baked worlds, so a transform
+    # that moved since then must still look "changed" to the next
+    # refresh_transforms (a fresh fingerprint would silently freeze a
+    # move made in the same frame as this spawn/despawn; appends also
+    # change the fingerprint shape, correctly forcing a re-bake)
+    new_scene._host_trs_cache = getattr(scene, "_host_trs_cache", None)
     new_scene._host_pack = st
     return new_scene
 
@@ -394,11 +416,10 @@ def pack_scene(world, config: EngineConfig) -> SceneBuffers:
     image_ids: dict[tuple, int] = {}
 
     def add_texture(img: np.ndarray) -> int:
-        key = (
-            img.shape,
-            str(img.dtype),
-            hashlib.sha1(np.ascontiguousarray(img)).digest(),
-        )
+        # _image_key is shared with incremental_repack's lookups — the
+        # two constructions must stay byte-identical or spawned models
+        # stop matching packed content and fall back to full prepares
+        key = _image_key(img)
         if key not in image_ids:
             image_ids[key] = len(texture_images)
             texture_images.append(img)
@@ -427,6 +448,7 @@ def pack_scene(world, config: EngineConfig) -> SceneBuffers:
             mesh0=len(mesh_worlds),
             v0=vtx_offset,
             t0=tri_offset,
+            refs=(transform, model),
         )
         entity_world = transform.model_matrix()
         model_layer: dict[int, int] = {}

@@ -46,7 +46,11 @@ def e2e(r, app, label, n=30):
 
 
 def main():
-    cfg = EngineConfig(width=1920, height=1080)
+    # the default flipped to True after this script's first measurement:
+    # force the baseline OFF explicitly
+    cfg = dataclasses.replace(
+        EngineConfig(width=1920, height=1080), shadow_cache=False
+    )
     app = build_app(cfg)
     app.resumed()
     e2e(app.renderer, app, "A shadow_cache=False")

@@ -138,6 +138,27 @@ def test_move_then_spawn_keeps_moved_transform():
     assert not np.array_equal(moved, after_spawn)  # new cube visible
 
 
+def test_same_frame_move_and_spawn():
+    """Regression: a transform moved in the SAME frame as a spawn (no
+    render in between) must still be baked — incremental_repack must not
+    refresh the TRS cache past the un-baked move."""
+    world = _base_world()
+    t = Transform.from_xyz(0.0, 0.5, 0.0)
+    world.spawn((t, procedural_model("cube", base_color=(1, 0, 0, 1))))
+    r = _renderer(world)
+    r.render(world)
+
+    # move AND spawn before the next render
+    t.translation = np.array([1.0, 0.5, 0.0], np.float32)
+    world.spawn((Transform.from_xyz(-1.0, 0.5, 0.0),
+                 procedural_model("cube", base_color=(0, 0, 1, 1))))
+    frame = r.render(world)
+
+    r2 = Renderer(r.config)
+    r2.prepare(world)
+    np.testing.assert_array_equal(frame, r2.render(world))
+
+
 def test_multiview_sees_topology_change():
     """The sharded renderers must apply spawn/despawn too (they wrap the
     same packed scene)."""
