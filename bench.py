@@ -118,11 +118,12 @@ def main():
     renderer = app.renderer
 
     # MO_BENCH_SEQ=K renders K frames per dispatch (lax.scan over stacked
-    # camera params, Renderer.render_sequence_device).  Default 1: measured
-    # SLOWER here (42.8 vs 47.9 fps at K=10) — per-frame dispatches already
-    # pipeline on this backend, so the ~3ms per-call floor is pure latency,
-    # not throughput; the scanned body pays a params dynamic-slice and a
-    # (K, H, W) output allocation instead (NOTES_PERF.md).
+    # camera params, Renderer.render_sequence_device).  Default 1: K=10
+    # measured SLOWER in round 3 (42.8 vs 47.9 fps — each scanned frame
+    # re-rastered the shadow map then) and a statistical TIE in round 4
+    # (65.77 vs 65.95 with the memoized shadow table feeding the scan):
+    # per-frame dispatches pipeline fully on this backend, so scanning
+    # buys nothing and costs a (K, H, W) output allocation.
     seq = int(os.environ.get("MO_BENCH_SEQ", "1"))
 
     def device_frame():
