@@ -100,6 +100,9 @@ def _self_watchdog() -> int:
             rc = p.poll()
             if rc is not None:
                 if rc == 0:
+                    # stderr only: the child's JSON line must stay the
+                    # last thing on stdout for line-parsing callers
+                    print("bench: ok", file=sys.stderr)
                     return 0
                 break  # real failure: retry
             if time.time() - t0 > window and cpu_seconds(p.pid) < min_cpu:
