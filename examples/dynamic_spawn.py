@@ -35,7 +35,9 @@ def main():
     app = build_app(EngineConfig(width=w, height=h), n_grid=6)
     app.resumed()
     r = app.renderer
-    np.asarray(r.render_device(app.world)[0, 0])  # warm the frame jit
+    # warm the frame jit AND keep the full pre-spawn frame: the despawn
+    # check at the end compares against these exact bytes
+    f0 = np.asarray(r.render_device(app.world))
 
     # spawn a tower of cubes one frame at a time (each applies
     # incrementally: no re-jit, tail-row uploads only)
@@ -59,18 +61,22 @@ def main():
     populated = unpack_rgba8(np.asarray(frame))
     write_png(out, populated)
 
-    # despawn them all: the frame returns to the original bit-exactly
+    # despawn them all: the frame must return to the warmed pre-spawn
+    # frame BIT-EXACTLY (same check tests/test_incremental_prepare.py
+    # pins; np.array_equal against f0, not a vacuous non-zero test)
     for e in spawned:
         app.world.despawn(e)
     app.runtime_schedule.run(app.world)
-    restored = r.render_device(app.world)
+    restored = np.asarray(r.render_device(app.world))
     r.check_overflow()
+    bit_exact = bool(np.array_equal(f0, restored))
     print(
         f"spawned 6 entities mid-run in {spawn_s:.2f}s total "
         f"(incremental, no re-jit); wrote {out}; "
-        f"despawn restored the frame: "
-        f"{bool((np.asarray(restored) != 0).any())}"
+        f"despawn restored the pre-spawn frame bit-exactly: {bit_exact}"
     )
+    if not bit_exact:
+        raise SystemExit("despawn did NOT restore the pre-spawn frame")
 
 
 if __name__ == "__main__":

@@ -136,6 +136,13 @@ class EngineConfig:
     # (NOTES_PERF.md).  Kept for scenes where the gather dominates
     # (huge triangle tables).
     raster_interp_attrs: bool = False
+    # Fused attrs->planes Pallas kernel (kernels/attr_planes.py): consume
+    # the attrs-row gather result in its native channel-minor layout and
+    # emit the per-channel planes directly, removing XLA's 233MB
+    # gather-output relayout copy (1.21ms at 1080p, the round-4 trace's
+    # one non-floor block).  Applies to the slim fast path only
+    # (b0 is None); falls back structurally identical when off.
+    attrs_plane_kernel: bool = False
     # PCF window table as u16-packed 4x4 windows (ONE gather/pixel) vs
     # two f32 wide-row gathers.  Ceil quantization: boundary shift of at
     # most one 1.5e-5 depth quantum, no acne (see sampling.build_pcf_window_u16).

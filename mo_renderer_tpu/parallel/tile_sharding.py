@@ -178,10 +178,12 @@ def row_sharded_frame_body(
             tile_start=jnp.pad(binned.tile_start, (0, extra)),
             tile_count=jnp.pad(binned.tile_count, (0, extra)),
         )
+    from ..passes.frame_graph import _sub_x_for as _sx
+
     tri, z, _, _ = rasterize(
         binned, width=pad_w, height=h_local,
         tile_h=cfg.tile_h, tile_w=cfg.tile_w, slim=True,
-        sub_y=cfg.raster_sub_y,
+        sub_y=cfg.raster_sub_y, sub_x=_sx(cfg, pad_w),
         tile_row_offset=d * tiles_per_band,
     )
     # checkerboard shading per band: bands start on tile_h multiples
@@ -200,6 +202,7 @@ def row_sharded_frame_body(
     gbuf = gbuffer_pass_fast(
         tri, z, None, None, scene, scene.tri_attrs, params,
         slot_map=slot_map, cb=use_cb, full_wh=(pad_w, pad_h), y0=row0,
+        plane_kernel=cfg.attrs_plane_kernel,
     )
 
     # --- SSAO with a REAL halo exchange over the mesh -------------------
@@ -226,6 +229,7 @@ def row_sharded_frame_body(
         bottom = jnp.where(d == n_devices - 1, edge_bottom, bottom)
         ssao = ssao_pass_pallas(
             z_full, tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+            near=cfg.ssao_near, far=cfg.ssao_far,
             row_offset=row0, y_halo=(top, bottom),
         )
         if use_cb:

@@ -333,6 +333,7 @@ def frame_program(
             gbuf = gbuffer_pass_fast(
                 tri, z, None, None, scene, scene.tri_attrs, params,
                 slot_map=slot_map, cb=use_cb, full_wh=(pad_w, pad_h),
+                plane_kernel=cfg.attrs_plane_kernel,
             )
         else:
             gbuf = gbuffer_pass(tri, z, b0, b1, scene, vs)
@@ -559,6 +560,7 @@ class Renderer:
             functools.partial(shadow_program, cfg=cfg, binned_cap=binned_cap)
         )
         self._shadow_key = None
+        self._shadow_scene = None
         self._shadow_quads = None
         self._pending_overflow = []
         return frame
@@ -617,7 +619,13 @@ class Renderer:
     def _cached_shadow_quads(self, light_pv, has_light):
         """Memoized shadow map (quad rows): recomputed only when the
         caster light or any entity transform changed (bit-identical —
-        the map is a pure function of scene + light_proj_view)."""
+        the map is a pure function of scene + light_proj_view).
+
+        The scene half of the key is an identity check against a STRONG
+        reference (``self._shadow_scene``), never a bare ``id()``:
+        scenes are replaced every frame by refresh_transforms /
+        incremental_repack, and a recycled address could false-match a
+        stale map if the keyed object were allowed to die."""
         if not (
             self._fast
             and has_light
@@ -625,8 +633,8 @@ class Renderer:
             and self.config.shadow_cache
         ):
             return None
-        key = (np.asarray(light_pv).tobytes(), id(self.scene))
-        if key != self._shadow_key:
+        key = np.asarray(light_pv).tobytes()
+        if key != self._shadow_key or self._shadow_scene is not self.scene:
             self._shadow_quads, ovf = self._shadow_fn(
                 self.scene, jnp.asarray(light_pv)
             )
@@ -636,6 +644,7 @@ class Renderer:
                 jnp.stack([jnp.zeros((), jnp.int32), ovf])
             )
             self._shadow_key = key
+            self._shadow_scene = self.scene
         return self._shadow_quads
 
     def _sync_topology(self, world) -> None:

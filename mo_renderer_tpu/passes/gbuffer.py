@@ -218,7 +218,8 @@ def pixel_ndc(shape, full_wh, *, cb=False, y0=0):
 
 def gbuffer_pass_fast(tri, z, b0, b1, scene, tri_attrs, params,
                       slot_map: tuple = (0, 1, 2, 3, 4),
-                      cb: bool = False, full_wh=None, y0=0) -> GBuffer:
+                      cb: bool = False, full_wh=None, y0=0,
+                      plane_kernel: bool = False) -> GBuffer:
     """Gather-minimal G-buffer: typically 2-4 gathers per pixel total.
 
     1. one (T, 35) row gather for all corner attributes (packed by
@@ -240,10 +241,50 @@ def gbuffer_pass_fast(tri, z, b0, b1, scene, tri_attrs, params,
     """
     covered = tri >= 0
     t = jnp.maximum(tri, 0)
-    row = sampling.take_rows(tri_attrs, t)  # (H, W, 35)
+    row = sampling.take_rows(tri_attrs, t)  # (H, W, 35 + n_mat)
 
     pv = params["proj_view"]
     prev_pv = params["prev_proj_view"]
+
+    used_cols = M.fast_used_cols(slot_map)
+    if plane_kernel and b0 is None:
+        # fused attrs->planes Pallas kernel: consumes the gather result
+        # in its native channel-minor layout and emits the (H, W) planes
+        # directly, so XLA's gather-output relayout copy never exists
+        # (kernels/attr_planes.py; cfg.attrs_plane_kernel)
+        from ..kernels import attr_planes as AP
+
+        if not (
+            AP.supports(*tri.shape)
+            and row.shape[-1] == 35 + len(used_cols)
+        ):
+            raise ValueError(
+                "attrs_plane_kernel: unsupported pixel count or row "
+                f"layout ({tri.shape}, {row.shape[-1]} cols, "
+                f"{len(used_cols)} mat cols)"
+            )
+        if full_wh is None:
+            full_wh = (tri.shape[1] * (2 if cb else 1), tri.shape[0])
+        nx, ny = pixel_ndc(tri.shape, full_wh, cb=cb, y0=y0)
+        planes = AP.attr_planes(
+            row, nx, ny, pv, n_mat=len(used_cols)
+        )
+        world_pos = jnp.stack(planes[0:3], axis=-1)
+        n_in = jnp.stack(planes[3:6], axis=-1)
+        t_in = jnp.stack(planes[6:9], axis=-1)
+        bt_in = jnp.stack(planes[9:12], axis=-1)
+        uv0 = jnp.stack(planes[12:14], axis=-1)
+        mat_id = planes[14].astype(jnp.int32)
+        has_tangent = jnp.abs(planes[15]) > 0.5
+        mat_cols = jnp.stack(planes[16:], axis=-1)
+        wp1 = jnp.concatenate(
+            [world_pos, jnp.ones_like(world_pos[..., :1])], -1
+        )
+        velocity = _ndc01(wp1 @ pv.T) - _ndc01(wp1 @ prev_pv.T)
+        return _texture_and_assemble(
+            covered, z, world_pos, n_in, t_in, bt_in, uv0, mat_id,
+            has_tangent, velocity, scene, slot_map, mat_cols=mat_cols,
+        )
 
     def corner(base, width, k):
         return row[..., base + width * k : base + width * (k + 1)]
@@ -303,7 +344,6 @@ def gbuffer_pass_fast(tri, z, b0, b1, scene, tri_attrs, params,
     # vertex_stage.pack_triangle_attributes — the row gather is
     # index-count-bound, so they are nearly free here, vs ~1ms/frame
     # for the per-pixel one-hot matmul at 100+ materials)
-    used_cols = M.fast_used_cols(slot_map)
     mat_cols = row[..., TRI_STRIDE : TRI_STRIDE + len(used_cols)]
     return _texture_and_assemble(
         covered, z, world_pos, n_in, t_in, bt_in, uv0, mat_id, has_tangent,

@@ -135,6 +135,37 @@ def config_sponza() -> dict:
     }
 
 
+def config_stress_200k() -> dict:
+    """4x-sponza stress scene (~200K tris, 401 entities) — the
+    past-BASELINE scaling probe (VERDICT r4 #6).  Gated behind
+    MO_EVAL_STRESS=1: it is not a BASELINE config, it exists to find the
+    binning/sort wall."""
+    from examples.sponza_scale import build_app
+    from mo_renderer_tpu.config import EngineConfig
+
+    cfg = EngineConfig(
+        width=1920, height=1080, max_meshes=512, max_materials=512,
+    )
+    app = build_app(cfg, n_grid=20)
+    app.resumed()
+    r = app.renderer
+
+    def step():
+        app.runtime_schedule.run(app.world)
+        return r.render_device(app.world)
+
+    fps = _time_device_frames(step)
+    r.check_overflow()
+    return {
+        "fps": round(fps, 2),
+        "mpixels_per_s": round(fps * 1920 * 1080 / 1e6, 1),
+        "resolution": "1920x1080",
+        "entities": 401,
+        "tris": int(np.asarray(r.scene.tri_valid.sum())),
+        "binned_cap": int(r._binned_cap),
+    }
+
+
 def config_multi_view() -> dict:
     """Scanned multi-view camera path: the 120-frame offline shape of
     BASELINE configs[4].  The whole camera path is precomputed host-side
@@ -152,7 +183,11 @@ def config_multi_view() -> dict:
 
     w, h, n_views = 3840, 2160, 8
     seq = int(os.environ.get("MO_EVAL_MV_SEQ", "4"))
-    n_frames = max(((max(FRAMES // 4, 3) + seq - 1) // seq) * seq, seq)
+    # BASELINE configs[4] is a 120-FRAME camera path; that spec is the
+    # default (VERDICT r4 #3 — no more 8-step stand-ins).  MO_EVAL_MV_FRAMES
+    # trims it for smoke runs.
+    n_frames = int(os.environ.get("MO_EVAL_MV_FRAMES", "120"))
+    n_frames = max(((n_frames + seq - 1) // seq) * seq, seq)
     cfg = EngineConfig(width=w, height=h)
     app = build_app(cfg, n_grid=8)
     app.resumed()
@@ -190,6 +225,7 @@ def config_multi_view() -> dict:
         "mpixels_per_s": round(vps * w * h / 1e6, 1),
         "resolution": f"{w}x{h}",
         "views": n_views,
+        "n_frames": n_frames,
         "devices": int(mesh.devices.size),
         "frames_per_dispatch": seq,
         "device_resident": True,
@@ -207,6 +243,8 @@ def main():
         ("sponza_1080p", config_sponza),
         ("multi_view_4k", config_multi_view),
     ]
+    if os.environ.get("MO_EVAL_STRESS"):
+        runners.append(("stress_200k_1080p", config_stress_200k))
     only = os.environ.get("MO_EVAL_ONLY")  # comma-separated name filter
     if only:
         wanted = set(only.split(","))

@@ -6,6 +6,7 @@ re-jit — and fall back to the full prepare when the static layout cannot
 absorb the change (new texture content, light-count change).
 """
 
+import os
 import time
 
 import numpy as np
@@ -205,7 +206,12 @@ def test_sponza_scale_spawn_host_cost():
     r._sync_topology(app.world)
     dt = time.perf_counter() - t0
     assert r._frame_fn is fn_before, "sponza-scale spawn must be incremental"
-    assert dt < 0.5, f"incremental repack took {dt:.3f}s"
+    # wall-clock bound only under MO_PERF_ASSERTS=1: the functional
+    # asserts above are the real invariants; this rig's host side can be
+    # starved by co-located load (CLAUDE.md), making a hard timing
+    # assert flake-prone in CI (ADVICE r4)
+    if os.environ.get("MO_PERF_ASSERTS"):
+        assert dt < 0.5, f"incremental repack took {dt:.3f}s"
     f = r.render(app.world)
     assert f[..., :3].max() > 0
     r.check_overflow()
