@@ -143,6 +143,11 @@ class EngineConfig:
     # one non-floor block).  Applies to the slim fast path only
     # (b0 is None); falls back structurally identical when off.
     attrs_plane_kernel: bool = False
+    # Companion for the texture-stack gather: fused unpack+bilinear
+    # Pallas kernel consuming the u32 quad rows in their native layout
+    # (kernels/stack_planes.py) — removes the stack-row relayout
+    # (~0.6ms while-loop at 1080p in the round-4 trace).
+    stack_plane_kernel: bool = False
     # PCF window table as u16-packed 4x4 windows (ONE gather/pixel) vs
     # two f32 wide-row gathers.  Ceil quantization: boundary shift of at
     # most one 1.5e-5 depth quantum, no acne (see sampling.build_pcf_window_u16).

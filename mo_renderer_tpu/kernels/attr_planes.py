@@ -41,6 +41,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from jax._src.pallas.mosaic.core import CompilerParams
+
 from .rasterizer import _use_interpret
 
 _BLOCK = 1024  # pixels per grid step: one native (8, 128) f32 tile
@@ -116,44 +118,58 @@ def _kernel(params_ref, rows_ref, nx_ref, ny_ref, *out_refs, n_mat: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_mat", "interpret")
+    jax.jit,
+    static_argnames=("n_mat", "interpret", "block_rows", "input_fusion"),
 )
 def attr_planes(rows, nx, ny, proj_view, *, n_mat: int,
-                interpret: bool | None = None):
+                interpret: bool | None = None, block_rows: int = 8,
+                input_fusion: bool = False):
     """rows (H, W, 35 + n_mat) f32 gather output (native layout);
     nx/ny (H, W) pixel-center NDC (gbuffer.pixel_ndc); proj_view (4, 4).
 
     Returns 16 + n_mat (H, W) f32 planes, in order:
     wp.xyz, n.xyz, t.xyz, bt.xyz, uv0.uv, mat_id, handed, mat_cols...
+
+    block_rows: sublane rows of pixels per grid step (block =
+    block_rows x 128 pixels x C channels); measured on TPU by
+    scripts/r5_kernel_bench.py.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     h, w, c = rows.shape
     p = h * w
-    assert p % _BLOCK == 0, (h, w)
+    blk = block_rows * 128
+    assert p % blk == 0, (h, w, block_rows)
     assert c == 35 + n_mat, (c, n_mat)
-    b = p // _BLOCK
+    b = p // blk
     n_out = 16 + n_mat
 
-    r4 = rows.reshape(b, 8, 128, c)
-    nx4 = nx.reshape(b, 8, 128).astype(jnp.float32)
-    ny4 = ny.reshape(b, 8, 128).astype(jnp.float32)
+    r4 = rows.reshape(b, block_rows, 128, c)
+    nx4 = nx.reshape(b, block_rows, 128).astype(jnp.float32)
+    ny4 = ny.reshape(b, block_rows, 128).astype(jnp.float32)
     params = proj_view.astype(jnp.float32).reshape(1, 16)
 
     grid = (b,)
-    plane_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0))
+    plane_spec = pl.BlockSpec((1, block_rows, 128), lambda i: (i, 0, 0))
     outs = pl.pallas_call(
         functools.partial(_kernel, n_mat=n_mat),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8, 128, c), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, block_rows, 128, c), lambda i: (i, 0, 0, 0)),
             plane_spec,
             plane_spec,
         ],
         out_specs=[plane_spec] * n_out,
-        out_shape=[jax.ShapeDtypeStruct((b, 8, 128), jnp.float32)] * n_out,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, block_rows, 128), jnp.float32)
+        ] * n_out,
+        compiler_params=CompilerParams(
+            dimension_semantics=("arbitrary",),
+            allow_input_fusion=[False, True, False, False]
+            if input_fusion else None,
+        ),
         interpret=_use_interpret() if interpret is None else interpret,
     )(params, r4, nx4, ny4)
     return [o.reshape(h, w) for o in outs]

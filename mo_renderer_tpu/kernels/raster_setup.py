@@ -255,11 +255,28 @@ def default_xlarge_cap(t: int) -> int:
     return max(8, t // 2048)
 
 
+def banded_small_cap(t: int, n_band: int) -> int:
+    """Static per-band capacity of the compacted small class (band-local
+    binning): expected in-band smalls ~= t / n_band (a span-<=2 triangle
+    touches at most 2 bands), with a 2x imbalance margin.  Overflow is
+    counted and raised like every other cap."""
+    return max(2048, (2 * t) // max(n_band, 1))
+
+
+def banded_medium_cap(t: int, n_band: int) -> int:
+    return max(512, (2 * default_medium_cap(t)) // max(n_band, 1))
+
+
+def banded_large_cap(t: int, n_band: int) -> int:
+    return max(128, (2 * default_large_cap(t)) // max(n_band, 1))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "tile_h", "tile_w", "n_tiles_x", "n_tiles_y",
         "max_tiles_per_tri", "binned_cap", "global_cap", "medium_cap",
+        "band_tile_rows", "band_devices",
     ),
 )
 def bin_triangles(
@@ -273,12 +290,30 @@ def bin_triangles(
     binned_cap: int = 1 << 16,
     global_cap: int = 512,
     medium_cap: int | None = None,
+    band_row0=None,
+    band_tile_rows: int | None = None,
+    band_devices: int | None = None,
 ) -> BinnedTriangles:
-    """Compact triangles into per-tile runs via a (tile, tri) key sort."""
+    """Compact triangles into per-tile runs via a (tile, tri) key sort.
+
+    Band-local mode (VERDICT r4 #5): with ``band_tile_rows`` (static) and
+    ``band_row0`` (traced — each device passes its own band start), only
+    pairs whose tile ROW falls in [band_row0, band_row0 + band_tile_rows)
+    are enumerated, through per-band-scaled static caps (the small class
+    is compacted through the same single argsort the other classes
+    already use) — so each device of a row-sharded mesh sorts ~1/n of
+    the keys instead of replicating the full-frame sort.  Tile ids stay
+    GLOBAL: tile_start/tile_count cover all n_tiles (zero counts outside
+    the band) and the (tile, tri) key order is unchanged, so the raster
+    consumes band output bit-identically.  ``band_devices`` sizes the
+    per-band caps (cap overflow is counted in ``overflow`` exactly like
+    the full-frame classes).
+    """
     tri_data, bbox = setup.tri_data, setup.bbox
     t = tri_data.shape[0]
     n_tiles = n_tiles_x * n_tiles_y
     mt = max_tiles_per_tri
+    banded = band_tile_rows is not None
     mcap = default_medium_cap(t) if medium_cap is None else medium_cap
 
     valid = tri_data[:, COL_VALID] > 0
@@ -293,41 +328,62 @@ def bin_triangles(
     span_y = ty1 - ty0 + 1
     span = span_x * span_y
 
-    is_small = live & (span <= 2)
-    is_medium = live & (span > 2) & (span <= mt)
-    is_large = live & (span > mt) & (span <= LARGE_SPAN)
+    if banded:
+        r0 = jnp.asarray(band_row0, jnp.int32)
+        r1 = r0 + band_tile_rows
+        # tile rows of the bbox that fall inside the band
+        ov_y = (
+            jnp.minimum(ty1, r1 - 1) - jnp.maximum(ty0, r0) + 1
+        )
+        in_band = live & (ov_y > 0)
+        # per-triangle IN-BAND pair count (bbox ∩ band) — drives both
+        # the per-class overflow accounting and nothing else
+        band_pairs = jnp.where(in_band, span_x * jnp.maximum(ov_y, 0), 0)
+    else:
+        r0 = r1 = None
+        in_band = live
+        band_pairs = jnp.where(live, span, 0)
+
+    is_small = in_band & (span <= 2)
+    is_medium = in_band & (span > 2) & (span <= mt)
+    is_large = in_band & (span > mt) & (span <= LARGE_SPAN)
     # XLARGE: span > 32 up to the whole screen (span <= n_tiles by
     # construction) — enumerated into the per-tile runs like everything
     # else.  These used to go to a VMEM-resident global list tested by
     # EVERY tile, but that costs each tile one inert 8-row batch even
     # when only a floor plane is huge (~0.9ms/frame at sponza across
     # both rasters); as per-tile pairs they merge into existing batches.
-    is_xlarge = live & (span > LARGE_SPAN)
+    is_xlarge = in_band & (span > LARGE_SPAN)
     tri_ids = jnp.arange(t, dtype=jnp.int32)
 
-    # SMALL: 2 slots per triangle.  span <= 2 means the tile footprint is
-    # 1x1, 1x2 or 2x1, so slot 1 is one step right (span_x == 2) or one
-    # step down — no integer div/mod (expensive VPU expansions).
-    slot2 = jnp.arange(2, dtype=jnp.int32)[None, :]
-    s_base = ty0 * n_tiles_x + tx0
-    s_step = jnp.where(span_x == 2, 1, n_tiles_x)
-    s_tile = s_base[:, None] + slot2 * s_step[:, None]  # (T, 2)
-    s_ok = is_small[:, None] & (slot2 < span[:, None])
-    s_tri = jnp.broadcast_to(tri_ids[:, None], (t, 2))
+    def band_ok(tile_row):
+        if not banded:
+            return True
+        return (tile_row >= r0) & (tile_row < r1)
 
-    # Compaction of the medium/large/global classes: ONE stable argsort
-    # on a class key (0 medium, 1 large, 2 global, 3 rest) replaces the
-    # three per-class argsorts — each sort of T keys costs ~0.15ms mostly
-    # in fixed overhead, so folding them is a straight win.  The windows
-    # are recovered with dynamic slices at the (traced) class boundaries;
-    # lax.dynamic_slice clamps the start so each window always covers its
-    # whole class (membership is re-checked via the m_is/l_is/g_is masks).
-    # (A cumsum+scatter compaction measured marginally SLOWER in-frame —
-    # sponza 33.7 -> 33.0 fps — scatter is no cheaper than sort here.)
-    class_key = jnp.where(
-        is_medium, 0, jnp.where(is_large, 1, jnp.where(is_xlarge, 2, 3))
-    ).astype(jnp.int32)
+    # Compaction of the medium/large/xlarge (+ banded small) classes:
+    # ONE stable argsort on a class key replaces per-class argsorts —
+    # each sort of T keys costs ~0.15ms mostly in fixed overhead, so
+    # folding them is a straight win.  The windows are recovered with
+    # dynamic slices at the (traced) class boundaries; lax.dynamic_slice
+    # clamps the start so each window always covers its whole class
+    # (membership is re-checked via the class masks).  (A cumsum+scatter
+    # compaction measured marginally SLOWER in-frame — sponza 33.7 ->
+    # 33.0 fps — scatter is no cheaper than sort here.)
+    if banded:
+        class_key = jnp.where(
+            is_small, 0, jnp.where(
+                is_medium, 1, jnp.where(
+                    is_large, 2, jnp.where(is_xlarge, 3, 4)
+                )
+            )
+        ).astype(jnp.int32)
+    else:
+        class_key = jnp.where(
+            is_medium, 0, jnp.where(is_large, 1, jnp.where(is_xlarge, 2, 3))
+        ).astype(jnp.int32)
     order = jnp.argsort(class_key, stable=True)
+    n_sm = jnp.sum(is_small.astype(jnp.int32)) if banded else None
     n_med = jnp.sum(is_medium.astype(jnp.int32))
     n_lg = jnp.sum(is_large.astype(jnp.int32))
 
@@ -351,29 +407,87 @@ def bin_triangles(
         c_ty0 = g(ty0)
         c_span_x = g(span_x)
         c_span = g(span)
+        c_pairs = jnp.where(c_is, g(band_pairs), 0)
         slots = jnp.arange(n_slots, dtype=jnp.int32)[None, :]
         dy, dx = slot_div(slots, c_span_x[:, None], exact_div)
-        c_tile = (c_ty0[:, None] + dy) * n_tiles_x + c_tx0[:, None] + dx
-        c_ok = c_is[:, None] & (slots < c_span[:, None])
+        tile_row = c_ty0[:, None] + dy
+        c_tile = tile_row * n_tiles_x + c_tx0[:, None] + dx
+        c_ok = (
+            c_is[:, None] & (slots < c_span[:, None]) & band_ok(tile_row)
+        )
         c_tri = jnp.broadcast_to(corder[:, None], c_tile.shape)
-        return c_is, c_span, c_tile, c_ok, c_tri
+        return c_is, c_pairs, c_tile, c_ok, c_tri
 
-    # MEDIUM (span 3..mt): first n_med rows of the class order
-    morder = order[: min(mcap, t)]
-    m_is, m_span, m_tile, m_ok, m_tri = enum_class(morder, is_medium, mt)
+    if banded:
+        # SMALL compacted like the other classes (the full-T 2-slot
+        # enumeration would keep the sort at full-frame size)
+        scap = min(banded_small_cap(t, band_devices or 1), t)
+        sorder = order[:scap]
+        s_is, s_pairs, s_tile, s_ok, s_tri = enum_class(sorder, is_small, 2)
+        off_m = n_sm
+    else:
+        # SMALL: 2 slots per triangle, enumerated for ALL T (no
+        # compaction — span <= 2 means the tile footprint is 1x1, 1x2 or
+        # 2x1, so slot 1 is one step right (span_x == 2) or one step
+        # down; no integer div/mod)
+        slot2 = jnp.arange(2, dtype=jnp.int32)[None, :]
+        s_base = ty0 * n_tiles_x + tx0
+        s_step = jnp.where(span_x == 2, 1, n_tiles_x)
+        s_tile = s_base[:, None] + slot2 * s_step[:, None]  # (T, 2)
+        s_ok = is_small[:, None] & (slot2 < span[:, None])
+        s_tri = jnp.broadcast_to(tri_ids[:, None], (t, 2))
+        s_is, s_pairs = is_small, jnp.where(is_small, band_pairs, 0)
+        off_m = jnp.zeros((), jnp.int32)
+
+    # MEDIUM (span 3..mt)
+    mcap_c = (
+        min(banded_medium_cap(t, band_devices or 1), t) if banded
+        else min(mcap, t)
+    )
+    morder = jax.lax.dynamic_slice_in_dim(order, off_m, mcap_c)
+    m_is, m_pairs, m_tile, m_ok, m_tri = enum_class(morder, is_medium, mt)
 
     # LARGE (span mt+1..32): next n_lg rows — see default_large_cap for
     # why these must NOT fall to the xlarge class
-    lcap = min(default_large_cap(t), t)
-    lorder = jax.lax.dynamic_slice_in_dim(order, n_med, lcap)
-    l_is, l_span, l_tile, l_ok, l_tri = enum_class(lorder, is_large, LARGE_SPAN)
-
-    # XLARGE (span 33..n_tiles): next n_xl rows, n_tiles slots each
-    xcap = min(default_xlarge_cap(t), t)
-    xorder = jax.lax.dynamic_slice_in_dim(order, n_med + n_lg, xcap)
-    x_is, x_span, x_tile, x_ok, x_tri = enum_class(
-        xorder, is_xlarge, n_tiles, exact_div=True
+    lcap = (
+        min(banded_large_cap(t, band_devices or 1), t) if banded
+        else min(default_large_cap(t), t)
     )
+    lorder = jax.lax.dynamic_slice_in_dim(order, off_m + n_med, lcap)
+    l_is, l_pairs, l_tile, l_ok, l_tri = enum_class(
+        lorder, is_large, LARGE_SPAN
+    )
+
+    # XLARGE (span 33..n_tiles): next n_xl rows.  Banded: enumerate the
+    # BAND's tiles directly (band_tile_rows * n_tiles_x static slots,
+    # masked to the triangle's bbox) instead of the triangle's full span.
+    xcap = min(default_xlarge_cap(t), t)
+    xorder = jax.lax.dynamic_slice_in_dim(order, off_m + n_med + n_lg, xcap)
+    if banded:
+        def gx(a):
+            return a.at[xorder].get(mode="promise_in_bounds")
+
+        x_is = gx(is_xlarge)
+        x_pairs = jnp.where(x_is, gx(band_pairs), 0)
+        xslots = band_tile_rows * n_tiles_x
+        slots = jnp.arange(xslots, dtype=jnp.int32)[None, :]
+        dy = slots // n_tiles_x
+        dx = slots % n_tiles_x
+        tile_row = r0 + dy
+        xcap_rows = xorder.shape[0]
+        x_tile = jnp.broadcast_to(
+            tile_row * n_tiles_x + dx, (xcap_rows, xslots)
+        )
+        x_ok = (
+            x_is[:, None]
+            & (tile_row >= gx(ty0)[:, None]) & (tile_row <= gx(ty1)[:, None])
+            & (dx >= gx(tx0)[:, None]) & (dx <= gx(tx1)[:, None])
+        )
+        x_tri = jnp.broadcast_to(xorder[:, None], x_tile.shape)
+    else:
+        x_is, x_pairs, x_tile, x_ok, x_tri = enum_class(
+            xorder, is_xlarge, n_tiles, exact_div=True
+        )
 
     tile_all = jnp.concatenate(
         [s_tile.reshape(-1), m_tile.reshape(-1), l_tile.reshape(-1),
@@ -415,19 +529,24 @@ def bin_triangles(
         tri_sorted = tri_sorted[:binned_cap]
 
     n_pairs = jnp.sum(ok_all.astype(jnp.int32))
-    # medium/large/xlarge triangles beyond their caps lose ALL their pairs
+    # triangles beyond their class caps lose ALL their (in-band) pairs;
+    # the accounting compares each class's total in-band pair count
+    # against what its compaction window actually enumerated
+    small_dropped = jnp.sum(
+        jnp.where(is_small, band_pairs, 0)
+    ) - jnp.sum(s_pairs)
     medium_dropped = jnp.sum(
-        jnp.where(is_medium, span, 0)
-    ) - jnp.sum(jnp.where(m_is, m_span, 0))
+        jnp.where(is_medium, band_pairs, 0)
+    ) - jnp.sum(m_pairs)
     large_dropped = jnp.sum(
-        jnp.where(is_large, span, 0)
-    ) - jnp.sum(jnp.where(l_is, l_span, 0))
+        jnp.where(is_large, band_pairs, 0)
+    ) - jnp.sum(l_pairs)
     xlarge_dropped = jnp.sum(
-        jnp.where(is_xlarge, span, 0)
-    ) - jnp.sum(jnp.where(x_is, x_span, 0))
+        jnp.where(is_xlarge, band_pairs, 0)
+    ) - jnp.sum(x_pairs)
     pair_overflow = (
         jnp.maximum(n_pairs - binned_cap, 0)
-        + medium_dropped + large_dropped + xlarge_dropped
+        + small_dropped + medium_dropped + large_dropped + xlarge_dropped
     )
 
     # per-tile [start, count) from ONE binary search: keys are integers,

@@ -334,6 +334,7 @@ def frame_program(
                 tri, z, None, None, scene, scene.tri_attrs, params,
                 slot_map=slot_map, cb=use_cb, full_wh=(pad_w, pad_h),
                 plane_kernel=cfg.attrs_plane_kernel,
+                stack_kernel=cfg.stack_plane_kernel,
             )
         else:
             gbuf = gbuffer_pass(tri, z, b0, b1, scene, vs)
@@ -493,6 +494,13 @@ class Renderer:
         )
         if self.config.fast_sampling and uses_uv1:
             logger.info("scene uses UV set 1: reference sampling path")
+        # pre-warm the incremental-spawn chunk program so the first
+        # mid-run spawn pays no remote compile (scene_buffers
+        # _apply_tail_chunks; skipped on CPU where compiles are cheap)
+        if jax.default_backend() != "cpu":
+            from ..scene.scene_buffers import warm_incremental
+
+            warm_incremental(self.scene)
         self._frame_fn = self._build_frame_fn()
         logger.info(
             "renderer prepared: %d tris, %d verts, fb %dx%d (pad %dx%d)",

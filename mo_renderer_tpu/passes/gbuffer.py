@@ -219,7 +219,8 @@ def pixel_ndc(shape, full_wh, *, cb=False, y0=0):
 def gbuffer_pass_fast(tri, z, b0, b1, scene, tri_attrs, params,
                       slot_map: tuple = (0, 1, 2, 3, 4),
                       cb: bool = False, full_wh=None, y0=0,
-                      plane_kernel: bool = False) -> GBuffer:
+                      plane_kernel: bool = False,
+                      stack_kernel: bool = False) -> GBuffer:
     """Gather-minimal G-buffer: typically 2-4 gathers per pixel total.
 
     1. one (T, 35) row gather for all corner attributes (packed by
@@ -266,8 +267,14 @@ def gbuffer_pass_fast(tri, z, b0, b1, scene, tri_attrs, params,
         if full_wh is None:
             full_wh = (tri.shape[1] * (2 if cb else 1), tri.shape[0])
         nx, ny = pixel_ndc(tri.shape, full_wh, cb=cb, y0=y0)
+        # largest block that tiles the pixel stream (fewer grid steps =
+        # better DMA efficiency; measured b32 > b16 > b8 standalone)
+        p = tri.shape[0] * tri.shape[1]
+        block_rows = next(
+            b for b in (32, 16, 8) if p % (b * 128) == 0
+        )
         planes = AP.attr_planes(
-            row, nx, ny, pv, n_mat=len(used_cols)
+            row, nx, ny, pv, n_mat=len(used_cols), block_rows=block_rows,
         )
         world_pos = jnp.stack(planes[0:3], axis=-1)
         n_in = jnp.stack(planes[3:6], axis=-1)
@@ -284,6 +291,7 @@ def gbuffer_pass_fast(tri, z, b0, b1, scene, tri_attrs, params,
         return _texture_and_assemble(
             covered, z, world_pos, n_in, t_in, bt_in, uv0, mat_id,
             has_tangent, velocity, scene, slot_map, mat_cols=mat_cols,
+            stack_kernel=stack_kernel,
         )
 
     def corner(base, width, k):
@@ -348,12 +356,13 @@ def gbuffer_pass_fast(tri, z, b0, b1, scene, tri_attrs, params,
     return _texture_and_assemble(
         covered, z, world_pos, n_in, t_in, bt_in, uv0, mat_id, has_tangent,
         velocity, scene, slot_map, mat_cols=mat_cols,
+        stack_kernel=stack_kernel,
     )
 
 
 def _texture_and_assemble(
     covered, z, world_pos, n_in, t_in, bt_in, uv0, mat_id, has_tangent,
-    velocity, scene, slot_map, mat_cols=None,
+    velocity, scene, slot_map, mat_cols=None, stack_kernel=False,
 ):
     """Shared fast-path tail: material fetch, texture-stack sampling,
     factor application, TBN normal mapping, G-buffer assembly.
@@ -408,19 +417,46 @@ def _texture_and_assemble(
             groups.append(scene.texture_stack_b)
         if n_sampled > 4:
             groups.append(scene.texture_stack_c)
-        stack_row = jnp.concatenate(
-            [sampling.take_rows(g, idx) for g in groups], axis=-1
-        )  # (H, W, 4*n_sampled) uint32
-        w00 = (1 - fx) * (1 - fy)
-        w10 = fx * (1 - fy)
-        w01 = (1 - fx) * fy
-        w11 = fx * fy
+        # channels of each slot the assembly below actually reads
+        # (base rgb, normal rgb, mr g+b, occlusion r, emissive rgb)
+        slot_channels = ((0, 1, 2), (0, 1, 2), (1, 2), (0,), (0, 1, 2))
+        px = covered.shape[0] * covered.shape[1]
+        use_sk = stack_kernel and px % 1024 == 0
+        if use_sk:
+            # fused unpack+bilinear Pallas kernel consuming the gather
+            # results in their native layout (kernels/stack_planes.py —
+            # removes the u32 stack-row relayout, ~0.6ms at 1080p)
+            from ..kernels import stack_planes as SP
+
+            g_rows = [sampling.take_rows(g, idx) for g in groups]
+            out_spec, plane_of = [], {}
+            for k in range(5):
+                p = slot_map[k]
+                if p < 0:
+                    continue
+                for c in slot_channels[k]:
+                    plane_of[(k, c)] = len(out_spec)
+                    out_spec.append((p // 2, 4 * (p % 2), 8 * c))
+            block_rows = next(
+                b for b in (32, 16, 8) if px % (b * 128) == 0
+            )
+            sk_planes = SP.stack_planes(
+                g_rows, fx, fy, out_spec=tuple(out_spec),
+                block_rows=block_rows,
+            )
+        else:
+            stack_row = jnp.concatenate(
+                [sampling.take_rows(g, idx) for g in groups], axis=-1
+            )  # (H, W, 4*n_sampled) uint32
+            w00 = (1 - fx) * (1 - fy)
+            w10 = fx * (1 - fy)
+            w01 = (1 - fx) * fy
+            w11 = fx * fy
+    else:
+        use_sk = False
 
     def slot(k):
-        p = slot_map[k]
-        if p < 0:  # constant layer: per-material value from the table
-            return cols(M.MAT_CONST_BASE + 4 * k, 4)
-        quad = stack_row[..., 4 * p : 4 * p + 4]  # [t00,t10,t01,t11] u32
+        quad = stack_row[..., 4 * slot_map[k] : 4 * slot_map[k] + 4]
         chans = []
         for shift in (0, 8, 16, 24):
             v = ((quad >> shift) & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
@@ -430,17 +466,33 @@ def _texture_and_assemble(
             )
         return jnp.stack(chans, axis=-1)  # (H, W, 4)
 
-    base_rgba, normal_map, mr, occ, emis = (slot(k) for k in range(5))
+    def slot3(k):
+        """Channels 0..2 of slot k as (H, W, 3)."""
+        if slot_map[k] < 0:  # constant layer: per-material table value
+            return cols(M.MAT_CONST_BASE + 4 * k, 4)[..., :3]
+        if use_sk:
+            return jnp.stack(
+                [sk_planes[plane_of[(k, c)]] for c in (0, 1, 2)], axis=-1
+            )
+        return slot(k)[..., :3]
+
+    def slot1(k, c):
+        """Channel c of slot k as (H, W)."""
+        if slot_map[k] < 0:
+            return cols(M.MAT_CONST_BASE + 4 * k, 4)[..., c]
+        if use_sk:
+            return sk_planes[plane_of[(k, c)]]
+        return slot(k)[..., c]
 
     base_factor = cols(M.MAT_BASE_COLOR_FACTOR, 4)
-    base_color = srgb_to_linear(base_rgba[..., :3] * base_factor[..., :3])
-    metallic = mr[..., 2] * col(M.MAT_METALLIC_FACTOR)
-    roughness = mr[..., 1] * col(M.MAT_ROUGHNESS_FACTOR)
-    occlusion = occ[..., 0]
-    emissive = emis[..., :3] * cols(M.MAT_EMISSIVE_FACTOR, 3)
+    base_color = srgb_to_linear(slot3(0) * base_factor[..., :3])
+    metallic = slot1(2, 2) * col(M.MAT_METALLIC_FACTOR)
+    roughness = slot1(2, 1) * col(M.MAT_ROUGHNESS_FACTOR)
+    occlusion = slot1(3, 0)
+    emissive = slot3(4) * cols(M.MAT_EMISSIVE_FACTOR, 3)
 
     n_geo = _normalize(n_in)
-    n_tex = _normalize(normal_map[..., :3] * 2.0 - 1.0)
+    n_tex = _normalize(slot3(1) * 2.0 - 1.0)
     n_mapped = _normalize(
         t_in * n_tex[..., 0:1] + bt_in * n_tex[..., 1:2] + n_geo * n_tex[..., 2:3]
     )

@@ -166,6 +166,133 @@ def _image_key(img: np.ndarray) -> tuple:
     )
 
 
+# --- chunked tail uploads (VERDICT r4 #4) -------------------------------
+# A spawn/despawn only rewrites a contiguous tail (or a dead range) of
+# the padded soup, but round 4 uploaded every changed array IN FULL —
+# megabytes over the ~160 MB/s host tunnel, 15-25 ms median / 56 ms worst
+# per spawn.  Here the changed rows ride ONE packed uint32 upload
+# (header = per-class chunk offsets, then bucket-sized row slices of
+# each mutable field), and one cached jitted program splits the buffer
+# and dynamic_update_slice's every field on device.  Buckets are static
+# (1024 vertex/triangle rows, 16 mesh/material rows, clamped to the
+# scene's capacities) so ONE compiled program — pre-warmed by
+# ``warm_incremental`` at prepare time — covers every spawn size via
+# repeated chunks; chunk offsets are traced scalars in the buffer head.
+# Overlapping / out-of-range chunks are safe by construction: the host
+# mirror is authoritative and byte-identical to the device everywhere
+# outside the changed ranges, so a clamped chunk rewrites rows with the
+# values they already hold.
+
+# (field name, size class, per-row uint32 words) — packing order; the
+# traced unpacker derives the same order from this table.
+_CHUNK_FIELDS = (
+    ("position", "v", 3), ("normal", "v", 3), ("color", "v", 4),
+    ("uv0", "v", 2), ("uv1", "v", 2), ("tangent", "v", 4),
+    ("vertex_mesh", "v", 1),
+    ("indices", "t", 3), ("tri_mesh", "t", 1), ("tri_valid", "t", 1),
+    ("mesh_world", "m", 16), ("mesh_normal_mat", "m", 9),
+    ("mesh_material", "m", 1),
+    ("materials", "mat", MATERIAL_STRIDE),
+)
+_CHUNK_CLASSES = ("v", "t", "m", "mat")
+_CHUNK_ROWS = {"v": 1024, "t": 1024, "m": 16, "mat": 16}
+
+
+def _chunk_buckets(h: dict) -> dict:
+    return {
+        "v": min(_CHUNK_ROWS["v"], h["position"].shape[0]),
+        "t": min(_CHUNK_ROWS["t"], h["indices"].shape[0]),
+        "m": min(_CHUNK_ROWS["m"], h["mesh_world"].shape[0]),
+        "mat": min(_CHUNK_ROWS["mat"], h["materials"].shape[0]),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("buckets",))
+def _apply_chunk(arrays: dict, packed: jnp.ndarray, buckets: tuple):
+    """arrays: the mutable scene fields; packed: uint32 — 4 offsets then
+    bucket-rows-sized slices of every _CHUNK_FIELDS entry in order."""
+    bucket = dict(zip(_CHUNK_CLASSES, buckets))
+    offs = {
+        cls: packed[i].astype(jnp.int32)
+        for i, cls in enumerate(_CHUNK_CLASSES)
+    }
+    pos = len(_CHUNK_CLASSES)
+    out = dict(arrays)
+    for name, cls, words in _CHUNK_FIELDS:
+        rows = bucket[cls]
+        flat = packed[pos : pos + rows * words]
+        pos += rows * words
+        arr = arrays[name]
+        tail_shape = (rows,) + arr.shape[1:]
+        if arr.dtype == jnp.float32:
+            tail = jax.lax.bitcast_convert_type(flat, jnp.float32)
+        elif arr.dtype == jnp.int32:
+            tail = jax.lax.bitcast_convert_type(flat, jnp.int32)
+        elif arr.dtype == jnp.bool_:
+            tail = flat != 0
+        else:  # pragma: no cover - layout table covers all fields
+            raise TypeError(f"{name}: {arr.dtype}")
+        out[name] = jax.lax.dynamic_update_slice_in_dim(
+            arr, tail.reshape(tail_shape), offs[cls], axis=0
+        )
+    return out
+
+
+def _pack_chunk(h: dict, buckets: dict, offs: dict) -> np.ndarray:
+    parts = [np.asarray([offs[c] for c in _CHUNK_CLASSES], np.uint32)]
+    for name, cls, words in _CHUNK_FIELDS:
+        rows = buckets[cls]
+        sl = h[name][offs[cls] : offs[cls] + rows]
+        if sl.dtype == np.bool_:
+            parts.append(sl.astype(np.uint32).ravel())
+        else:
+            parts.append(
+                np.ascontiguousarray(sl).view(np.uint32).ravel()
+            )
+    return np.concatenate(parts)
+
+
+def _apply_tail_chunks(scene: SceneBuffers, h: dict, items) -> dict:
+    """items: [{cls: (start, end)}] — apply every range through the ONE
+    cached chunk program; returns the updated device arrays dict."""
+    buckets = _chunk_buckets(h)
+    caps = {
+        "v": h["position"].shape[0], "t": h["indices"].shape[0],
+        "m": h["mesh_world"].shape[0], "mat": h["materials"].shape[0],
+    }
+    arrays = {
+        name: getattr(scene, name) for name, _, _ in _CHUNK_FIELDS
+    }
+    bkey = tuple(buckets[c] for c in _CHUNK_CLASSES)
+    for item in items:
+        n_chunks = 1
+        for cls in _CHUNK_CLASSES:
+            start, end = item.get(cls, (0, 0))
+            n_chunks = max(
+                n_chunks, -(-(end - start) // buckets[cls])
+            )
+        for i in range(n_chunks):
+            offs = {}
+            for cls in _CHUNK_CLASSES:
+                start, end = item.get(cls, (0, 0))
+                off = start + i * buckets[cls]
+                # clamp into [0, cap - bucket]: out-of-range chunks
+                # become no-op rewrites of already-correct rows
+                offs[cls] = max(0, min(off, caps[cls] - buckets[cls]))
+            packed = _pack_chunk(h, buckets, offs)
+            arrays = _apply_chunk(arrays, jnp.asarray(packed), bkey)
+    return arrays
+
+
+def warm_incremental(scene: SceneBuffers) -> None:
+    """Compile (or disk-cache-load) the chunk program at prepare time so
+    the first mid-run spawn pays no remote compile (VERDICT r4 #4)."""
+    h = getattr(scene, "_host_pack", None)
+    if h is None:
+        return
+    _apply_tail_chunks(scene, h.host, [{}])
+
+
 def incremental_repack(
     scene: SceneBuffers, world, config: EngineConfig, forbid_uv1: bool = False
 ) -> SceneBuffers | None:
@@ -297,11 +424,15 @@ def incremental_repack(
         return None  # exceeds the padded capacities: full prepare
 
     # --- apply: all validation passed, mutate host mirrors ---------------
+    v0_base, t0_base = st.v_count, st.t_count
+    m0_base, mat0_base = st.m_count, st.n_materials
     changed: set[str] = set()
+    chunk_items: list[dict] = []
     for rec in dead:
         rec.alive = False
         rec.refs = None  # allow GC; dead records are never matched
         h["tri_valid"][rec.t0 : rec.t0 + rec.nt] = False
+        chunk_items.append({"t": (rec.t0, rec.t0 + rec.nt)})
         changed.add("tri_valid")
 
     for transform, model, mesh_plans in plans:
@@ -371,7 +502,20 @@ def incremental_repack(
     if not changed:
         return scene  # pure reorder / no-op topology bump
 
-    updates = {name: jnp.asarray(h[name]) for name in changed}
+    # changed rows ride ONE packed upload per chunk instead of full
+    # padded-array re-uploads (see _apply_tail_chunks above)
+    if plans:
+        chunk_items.append({
+            "v": (v0_base, st.v_count),
+            "t": (t0_base, st.t_count),
+            "m": (m0_base, st.m_count),
+            "mat": (mat0_base, st.n_materials),
+        })
+    updates = {}
+    if chunk_items:
+        updates = _apply_tail_chunks(scene, h, chunk_items)
+    if "lights" in changed:
+        updates["lights"] = jnp.asarray(h["lights"])
     new_scene = dataclasses.replace(scene, **updates)
     if changed - {"lights"}:
         new_scene = refresh_tri_attrs(new_scene)

@@ -144,16 +144,21 @@ def main():
         "shadow_raster_banded": banded_shadow,
         "replicated_stages": {
             "what": (
-                "vertex+setup+binning+PCF-window build (scene-sized, "
-                "not pixel-sized); the shadow RASTER is band-sharded"
+                "vertex + triangle setups + PCF-window build; the "
+                "shadow RASTER is band-sharded (r4) and BINNING is "
+                "band-local (r5: each device enumerates + sorts only "
+                "its band's pairs, bin_triangles band mode — the "
+                "scene-sized sorts left the replicated bucket)"
             ),
             "binned_pairs_capacity": int(inner._binned_cap),
             "triangles": t,
             # single-chip trace attribution at sponza (NOTES_PERF.md):
-            # replicated = vertex 0.3 + setups ~0.7 + binnings ~2.0 +
-            # PCF window build 0.6 ~= 3.6ms of a 23.5ms frame (~15%),
-            # down from ~25% when the ~3ms shadow raster was replicated
-            "est_t_repl_frac_sponza": 0.15,
+            # replicated = vertex 0.3 + setups ~0.7 + PCF window build
+            # 0.6 ~= 1.6ms of a 23.5ms frame (~7%); the ~2.0ms binning
+            # sorts are band-local since round 5 (were the largest
+            # replicated stage at ~15%; ~25% in round 3 when the shadow
+            # raster was replicated too)
+            "est_t_repl_frac_sponza": 0.07,
         },
         "cpu_mesh_4k_frame_seconds": round(dt, 1),
         "ok": True,

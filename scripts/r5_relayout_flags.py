@@ -22,6 +22,11 @@ import numpy as np
 
 VARIANTS = [
     ("baseline", {}),
+    # CANARY: disabling multi-output fusion must visibly hurt a frame
+    # this fusion-heavy — if it times identical to baseline, the
+    # compiler_options are not reaching compilation and every "neutral"
+    # result below is invalid
+    ("canary_no_mo_fusion", {"xla_jf_enable_multi_output_fusion": "False"}),
     ("gather_expander_better_layout",
      {"xla_tpu_gather_expander_expand_for_better_layout": "True"}),
     ("layout_negotiation", {"xla_tpu_allow_layout_negotiation": "True"}),
@@ -35,7 +40,13 @@ def main():
     from examples.pbr_ibl import build_app
     from mo_renderer_tpu.config import EngineConfig
 
-    cfg = EngineConfig(width=1920, height=1080)
+    # the persistent compile cache may not key on compiler_options (the
+    # first run of this script saw 17-20s "compiles" of a 2-4 min
+    # program — cache hits), which would silently time ONE executable
+    # four times.  Disable it: every variant compiles fresh.
+    jax.config.update("jax_enable_compilation_cache", False)
+
+    cfg = EngineConfig(width=1920, height=1080, compile_cache=False)
     app = build_app(cfg)
     app.resumed()
     r = app.renderer

@@ -37,6 +37,18 @@ def capture():
         from examples.pbr_ibl import build_app
 
     cfg = EngineConfig(width=1920, height=1080)
+    # MO_TRACE_CFG="knob=value,knob=value" overrides config fields
+    # (booleans parse from 1/true/True)
+    import dataclasses as _dc
+
+    for kv in filter(None, os.environ.get("MO_TRACE_CFG", "").split(",")):
+        k, v = kv.split("=", 1)
+        cur = getattr(EngineConfig, k)
+        val = (
+            v in ("1", "true", "True") if isinstance(cur, bool)
+            else type(cur)(v) if cur is not None else int(v)
+        )
+        cfg = _dc.replace(cfg, **{k: val})
     app = build_app(cfg)
     app.resumed()
     r = app.renderer
