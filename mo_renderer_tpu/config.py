@@ -140,13 +140,21 @@ class EngineConfig:
     # the attrs-row gather result in its native channel-minor layout and
     # emit the per-channel planes directly, removing XLA's 233MB
     # gather-output relayout copy (1.21ms at 1080p, the round-4 trace's
-    # one non-floor block).  Applies to the slim fast path only
-    # (b0 is None); falls back structurally identical when off.
-    attrs_plane_kernel: bool = False
+    # one non-floor block).  Default ON: -0.43ms at 1080p, consistent
+    # across every interleaved trial (r5 perf_ab; trace confirms
+    # copy.167 gone, attr_planes.1 rides at ~0.8ms for the copy's 1.21
+    # plus the interp fusions it absorbs).  Applies to the slim fast
+    # path only (b0 is None); off falls back to the identical XLA math
+    # (a few f32 ULPs of FMA-grouping drift, tests/test_attr_planes.py).
+    attrs_plane_kernel: bool = True
     # Companion for the texture-stack gather: fused unpack+bilinear
     # Pallas kernel consuming the u32 quad rows in their native layout
-    # (kernels/stack_planes.py) — removes the stack-row relayout
-    # (~0.6ms while-loop at 1080p in the round-4 trace).
+    # (kernels/stack_planes.py), removing the 0.6ms stack-row relayout.
+    # Default OFF: wins -0.27ms ALONE but combined with the attrs kernel
+    # the frame measures +0.1-0.3ms WORSE than attrs-only (r5 interleaved
+    # A/Bs — the two pallas calls lose the XLA overlap between the stack
+    # gather and the surrounding fusions).  Kept for stacks-dominated
+    # scenes where attrs_plane_kernel is off.
     stack_plane_kernel: bool = False
     # PCF window table as u16-packed 4x4 windows (ONE gather/pixel) vs
     # two f32 wide-row gathers.  Ceil quantization: boundary shift of at

@@ -28,9 +28,11 @@ from .rasterizer import _use_interpret
 
 
 def _kernel(fx_ref, fy_ref, *refs, n_groups: int, out_spec: tuple):
+    # groups arrive bitcast to int32 (Mosaic has no u32->f32 convert);
+    # (x >> s) & 0xFF is byte-exact under arithmetic shift + mask
     groups = [
         jnp.transpose(r[0], (0, 2, 1)) for r in refs[:n_groups]
-    ]  # each (block_rows, 4k, 128) u32
+    ]  # each (block_rows, 4k, 128) i32
     outs = list(refs[n_groups:])
     fx = fx_ref[0]
     fy = fy_ref[0]
@@ -86,7 +88,10 @@ def stack_planes(group_rows, fx, fy, *, out_spec: tuple,
         in_specs.append(
             pl.BlockSpec((1, block_rows, 128, c), lambda i: (i, 0, 0, 0))
         )
-        args.append(g.reshape(b, block_rows, 128, c))
+        args.append(
+            jax.lax.bitcast_convert_type(g, jnp.int32)
+            .reshape(b, block_rows, 128, c)
+        )
 
     outs = pl.pallas_call(
         functools.partial(

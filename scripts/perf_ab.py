@@ -19,21 +19,18 @@ from examples.pbr_ibl import build_app
 from mo_renderer_tpu.config import EngineConfig
 
 
-def _time_renderer(r, world, label):
+def _make_step(r, world):
     params, has_light = r.frame_params(world)
     ibl = r.ibl.maps()
-    f, _ = r._frame_fn(r.scene, ibl, params, None, has_shadow_light=has_light)
-    np.asarray(f[0, 0])
-    best = float("inf")
-    for _ in range(4):
-        t0 = time.perf_counter()
-        for _ in range(10):
-            f, _ = r._frame_fn(r.scene, ibl, params, None,
-                               has_shadow_light=has_light)
-        np.asarray(f[0, 0])
-        best = min(best, (time.perf_counter() - t0) / 10)
-    print(f"{label}: {best*1e3:8.2f} ms  ({1.0/best:.2f} fps)", flush=True)
-    return best
+
+    def step():
+        f, _ = r._frame_fn(
+            r.scene, ibl, params, None, has_shadow_light=has_light
+        )
+        return f
+
+    np.asarray(step()[0, 0])  # warm/compile
+    return step
 
 
 def main():
@@ -51,14 +48,31 @@ def main():
     cfg_a = EngineConfig(width=1920, height=1080)
     app = build_app(cfg_a)
     app.resumed()
-    _time_renderer(app.renderer, app.world, "A (defaults)")
+    step_a = _make_step(app.renderer, app.world)
 
     cfg_b = dataclasses.replace(cfg_a, **overrides)
     from mo_renderer_tpu.passes.frame_graph import Renderer
 
     rb = Renderer(cfg_b)
     rb.prepare(app.world)
-    _time_renderer(rb, app.world, f"B ({overrides})")
+    step_b = _make_step(rb, app.world)
+
+    # INTERLEAVED trials: the backend's throughput drifts 2-4x within
+    # minutes some days (NOTES_PERF round-4 caveat) — sequential
+    # A-then-B comparisons are untrustworthy at the <1ms level
+    best = {"A": float("inf"), "B": float("inf")}
+    for trial in range(6):
+        for label, step in (("A", step_a), ("B", step_b)):
+            t0 = time.perf_counter()
+            for _ in range(10):
+                f = step()
+            np.asarray(f[0, 0])
+            dt = (time.perf_counter() - t0) / 10
+            best[label] = min(best[label], dt)
+            print(f"  trial {trial} {label}: {dt*1e3:7.2f} ms", flush=True)
+    for label, name in (("A", "A (defaults)"), ("B", f"B ({overrides})")):
+        b = best[label]
+        print(f"{name}: {b*1e3:8.2f} ms  ({1.0/b:.2f} fps)", flush=True)
 
 
 if __name__ == "__main__":

@@ -55,12 +55,25 @@ def main():
     quads = r._cached_shadow_quads(
         params.host_field("light_proj_view"), has_light
     )
-    lowered = jax.jit(
-        lambda s, i, p, q: r._frame_fn(s, i, p, q, has_shadow_light=True)
-    ).lower(r.scene, ibl, params, quads)
+    # The axon backend's server-side compile cache keys on the MODULE
+    # ONLY — same HLO + different compiler_options returns the cached
+    # executable byte-identical (verified: optimized HLO text equal
+    # across options; a fresh module + options produces different HLO).
+    # So each variant carries a unique dead scalar output to force a
+    # fresh compile that actually applies its options.
+    def make_fn(tag):
+        def f(s, i, p, q):
+            rgba, ovf = r._frame_fn(s, i, p, q, has_shadow_light=True)
+            return rgba, ovf, jnp.float32(tag)
+        return f
+
+    import jax.numpy as jnp
 
     execs = []
-    for name, opts in VARIANTS:
+    for k, (name, opts) in enumerate(VARIANTS):
+        lowered = jax.jit(make_fn(1000.5 + k)).lower(
+            r.scene, ibl, params, quads
+        )
         t0 = time.perf_counter()
         try:
             c = lowered.compile(compiler_options=opts or None)
@@ -76,7 +89,7 @@ def main():
     # warm + correctness spot check vs the first executable
     ref = None
     for name, c in execs:
-        f, _ = c(*args)
+        f, _, _ = c(*args)
         got = np.asarray(f[:4, :4])
         if ref is None:
             ref = got
@@ -89,7 +102,7 @@ def main():
         for name, c in execs:
             t0 = time.perf_counter()
             for _ in range(10):
-                f, _ = c(*args)
+                f, _, _ = c(*args)
             np.asarray(f[0, 0])
             dt = (time.perf_counter() - t0) / 10
             best[name] = min(best[name], dt)
