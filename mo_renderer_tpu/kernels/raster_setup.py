@@ -444,7 +444,10 @@ def bin_triangles(
         min(banded_medium_cap(t, band_devices or 1), t) if banded
         else min(mcap, t)
     )
-    morder = jax.lax.dynamic_slice_in_dim(order, off_m, mcap_c)
+    morder = (
+        jax.lax.dynamic_slice_in_dim(order, off_m, mcap_c)
+        if banded else order[:mcap_c]  # static slice: no dyn-slice fusion
+    )
     m_is, m_pairs, m_tile, m_ok, m_tri = enum_class(morder, is_medium, mt)
 
     # LARGE (span mt+1..32): next n_lg rows — see default_large_cap for
