@@ -248,22 +248,20 @@ def gbuffer_pass_fast(tri, z, b0, b1, scene, tri_attrs, params,
     prev_pv = params["prev_proj_view"]
 
     used_cols = M.fast_used_cols(slot_map)
-    if plane_kernel and b0 is None:
-        # fused attrs->planes Pallas kernel: consumes the gather result
-        # in its native channel-minor layout and emits the (H, W) planes
-        # directly, so XLA's gather-output relayout copy never exists
-        # (kernels/attr_planes.py; cfg.attrs_plane_kernel)
-        from ..kernels import attr_planes as AP
+    # fused attrs->planes Pallas kernel: consumes the gather result
+    # in its native channel-minor layout and emits the (H, W) planes
+    # directly, so XLA's gather-output relayout copy never exists
+    # (kernels/attr_planes.py; cfg.attrs_plane_kernel).  Pixel streams
+    # that don't tile into 1024-pixel blocks (e.g. some row-sharded
+    # band shapes) silently use the identical XLA math below.
+    from ..kernels import attr_planes as AP
 
-        if not (
-            AP.supports(*tri.shape)
-            and row.shape[-1] == 35 + len(used_cols)
-        ):
-            raise ValueError(
-                "attrs_plane_kernel: unsupported pixel count or row "
-                f"layout ({tri.shape}, {row.shape[-1]} cols, "
-                f"{len(used_cols)} mat cols)"
-            )
+    if (
+        plane_kernel
+        and b0 is None
+        and AP.supports(*tri.shape)
+        and row.shape[-1] == 35 + len(used_cols)
+    ):
         if full_wh is None:
             full_wh = (tri.shape[1] * (2 if cb else 1), tri.shape[0])
         nx, ny = pixel_ndc(tri.shape, full_wh, cb=cb, y0=y0)
