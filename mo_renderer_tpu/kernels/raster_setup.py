@@ -70,6 +70,10 @@ TRI_STRIDE = 16
 # across both raster passes.  SENTINEL_ROWS bounds the raster sub-batch
 # size (the last batch of the last run may read up to sub_k - 1 rows
 # past the pair capacity).
+# (Round-5 negative result: emitting 16-wide rows + a per-call pad at
+# the 207K-tri stress scene left the 8.1ms pair take UNCHANGED and
+# added a 0.97ms pad — the take is INDEX-count-bound, not row-width
+# bound, exactly as the round-2 tier law says.  Reverted.)
 ROW_PAD = 128
 SENTINEL_ROWS = 16
 

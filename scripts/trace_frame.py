@@ -32,7 +32,14 @@ def capture():
     from mo_renderer_tpu.config import EngineConfig
 
     if os.environ.get("MO_TRACE_APP") == "sponza":
-        from examples.sponza_scale import build_app
+        import functools
+
+        from examples.sponza_scale import build_app as _ba
+
+        # MO_TRACE_GRID scales the scene (20 = the 207K-tri stress grid)
+        build_app = functools.partial(
+            _ba, n_grid=int(os.environ.get("MO_TRACE_GRID", "10"))
+        )
     else:
         from examples.pbr_ibl import build_app
 
