@@ -419,7 +419,14 @@ def _texture_and_assemble(
         # (base rgb, normal rgb, mr g+b, occlusion r, emissive rgb)
         slot_channels = ((0, 1, 2), (0, 1, 2), (1, 2), (0,), (0, 1, 2))
         px = covered.shape[0] * covered.shape[1]
-        use_sk = stack_kernel and px % 1024 == 0
+        sk_rows = next(
+            (
+                b for b in (256, 240, 160, 128, 96, 64, 32, 16, 8)
+                if px % 128 == 0 and (px // 128) % b == 0
+            ),
+            None,
+        )
+        use_sk = stack_kernel and sk_rows is not None
         if use_sk:
             # fused unpack+bilinear Pallas kernel consuming the gather
             # results in their native layout (kernels/stack_planes.py —
@@ -435,12 +442,9 @@ def _texture_and_assemble(
                 for c in slot_channels[k]:
                     plane_of[(k, c)] = len(out_spec)
                     out_spec.append((p // 2, 4 * (p % 2), 8 * c))
-            block_rows = next(
-                b for b in (32, 16, 8) if px % (b * 128) == 0
-            )
             sk_planes = SP.stack_planes(
                 g_rows, fx, fy, out_spec=tuple(out_spec),
-                block_rows=block_rows,
+                block_rows=sk_rows,
             )
         else:
             stack_row = jnp.concatenate(
