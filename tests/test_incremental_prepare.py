@@ -183,6 +183,44 @@ def test_multiview_sees_topology_change():
     assert not np.array_equal(f0, f1), "spawn not visible in multi-view"
 
 
+def test_multi_chunk_despawn():
+    """A despawn whose dead triangle range spans several upload chunks
+    (1024 rows each, scene_buffers._CHUNK_ROWS) must chain chunks
+    correctly: the masked frame matches a freshly-packed world without
+    the entity, and nothing re-jits.  (Appends can never exceed one
+    chunk — pack_scene's 1024-row padding slack bounds them — so the
+    chunk LOOP is exercised by large dead ranges.)"""
+    world = _base_world()
+    big = procedural_model(
+        "sphere", base_color=(0.2, 0.9, 0.3, 1.0), rings=40, sectors=52
+    )
+    prim = big.meshes[0].primitive
+    n_tris = len(prim.indices) // 3
+    assert n_tris > 4 * 1024, n_tris  # dead range spans > 4 chunks
+    e = world.spawn((Transform.from_xyz(0.0, 0.6, 0.0), big))
+    r = _renderer(world)
+    f_with = r.render(world)
+    fn_before = r._frame_fn
+    pack_before = r.scene._host_pack
+
+    world.despawn(e)
+    f_masked = r.render(world)
+    assert r._frame_fn is fn_before, "despawn must stay incremental"
+    assert r.scene._host_pack is pack_before
+    assert not np.array_equal(f_with, f_masked), "sphere still visible"
+
+    # oracle: a fresh pack of the post-despawn world (same geometry,
+    # different layout) must produce the same image
+    r2 = Renderer(r.config)
+    r2.prepare(world)
+    f_fresh = r2.render(world)
+    np.testing.assert_array_equal(
+        f_masked, f_fresh,
+        err_msg="multi-chunk despawn corrupted surviving geometry",
+    )
+    r.check_overflow()
+
+
 def test_sponza_scale_spawn_host_cost():
     """Spawning at ~100-entity scale must not repack the world: the
     incremental path is bounded by tail-row writes + uploads (<50ms host
