@@ -130,7 +130,7 @@ def triangle_setup(
     depth_bias_slope: float = 0.0,
     w_eps: float = 1e-6,
 ) -> TriangleSetup:
-    """Build per-triangle raster data from clip positions.
+    """Build per-triangle raster data from per-VERTEX clip positions.
 
     clip (V, 4) f32; indices (T, 3) int32; tri_valid (T,) bool.
     Depth bias (shadow pass, shadow_pass.rs:132-140) is folded into the
@@ -142,7 +142,60 @@ def triangle_setup(
     v0 = jnp.take(clip, i0, axis=0)
     v1 = jnp.take(clip, i1, axis=0)
     v2 = jnp.take(clip, i2, axis=0)
+    return setup_from_corners(
+        v0, v1, v2, tri_valid, width, height,
+        cull_backface=cull_backface,
+        depth_bias_const=depth_bias_const,
+        depth_bias_slope=depth_bias_slope,
+        w_eps=w_eps,
+    )
 
+
+def triangle_setup_from_attrs(
+    tri_attrs: jnp.ndarray,
+    tri_valid: jnp.ndarray,
+    proj_view: jnp.ndarray,
+    width: int,
+    height: int,
+    cull_backface: bool = True,
+    depth_bias_const: float = 0.0,
+    depth_bias_slope: float = 0.0,
+    w_eps: float = 1e-6,
+) -> TriangleSetup:
+    """Setup straight from the packed per-TRIANGLE corner table
+    (vertex_stage.pack_triangle_attributes: columns 0..8 are the baked
+    world-space corners).
+
+    The fast path's only consumers of the per-vertex stage were the
+    three setup corner gathers (jnp.take(clip, i_k)); projecting the
+    already-per-triangle world corners here removes the vertex stage
+    AND those gathers from the frame entirely — 3 x 2.0 ms at the
+    207K-triangle stress scene, where the takes sat well above their
+    flagship tier (round-5 trace).  Same projection formula as
+    run_vertex_stage (clip = [wp, 1] @ PV^T), and it makes the raster's
+    edges consistent with gbuffer_pass_fast's homogeneous barycentrics,
+    which already derive from these exact corners.
+    """
+    def clip_of(k):
+        wp = tri_attrs[:, 3 * k : 3 * k + 3]
+        wp1 = jnp.concatenate([wp, jnp.ones_like(wp[:, :1])], axis=-1)
+        return wp1 @ proj_view.T
+
+    return setup_from_corners(
+        clip_of(0), clip_of(1), clip_of(2), tri_valid, width, height,
+        cull_backface=cull_backface,
+        depth_bias_const=depth_bias_const,
+        depth_bias_slope=depth_bias_slope,
+        w_eps=w_eps,
+    )
+
+
+def setup_from_corners(
+    v0, v1, v2, tri_valid, width, height, *,
+    cull_backface=True, depth_bias_const=0.0, depth_bias_slope=0.0,
+    w_eps=1e-6,
+) -> TriangleSetup:
+    """Core setup math over per-triangle clip corners (T, 4) x 3."""
     w0, w1, w2 = v0[:, 3], v1[:, 3], v2[:, 3]
     w_ok = (w0 > w_eps) & (w1 > w_eps) & (w2 > w_eps)
     safe_w = lambda w: jnp.where(w > w_eps, w, 1.0)
@@ -198,7 +251,7 @@ def triangle_setup(
         )
 
     tie_bits = tie0 * 1.0 + tie1 * 2.0 + tie2 * 4.0
-    tri_id = jnp.arange(indices.shape[0], dtype=jnp.float32)
+    tri_id = jnp.arange(tri_valid.shape[0], dtype=jnp.float32)
 
     tri_data = jnp.stack(
         [

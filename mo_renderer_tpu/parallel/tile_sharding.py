@@ -46,24 +46,26 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import EngineConfig
 from ..kernels.decimate import decimate_cols
-from ..kernels.raster_setup import bin_triangles, triangle_setup
+from ..kernels.raster_setup import (
+    bin_triangles,
+    triangle_setup_from_attrs,
+)
 from ..kernels.rasterizer import rasterize
 from ..passes.checkerboard import reconstruct_full
 from ..passes.frame_graph import Renderer, present_pass
 from ..passes.gbuffer import gbuffer_pass_fast
 from ..passes.shading import shading_pass_fast
 from ..passes.ssao import ssao_halo_rows, ssao_pass_pallas
-from ..passes.vertex_stage import run_vertex_stage
 from .multi_view import make_view_mesh
 
 logger = logging.getLogger("mo_renderer_tpu")
 
 
-def _shadow_quads_replicated(scene, vs, cfg, binned_cap):
+def _shadow_quads_replicated(scene, light_pv, cfg, binned_cap):
     from ..passes.frame_graph import _pcf_build, _shadow_map_from_clip
 
     shadow_map, overflow = _shadow_map_from_clip(
-        vs.shadow_clip, scene, cfg=cfg, binned_cap=binned_cap
+        None, scene, cfg=cfg, binned_cap=binned_cap, light_pv=light_pv
     )
     return _pcf_build(cfg)(shadow_map), overflow
 
@@ -73,7 +75,8 @@ def shadow_bands_divisible(cfg, n_devices: int) -> bool:
     return cfg.shadow_map_size % (n_devices * cfg.tile_h) == 0
 
 
-def _shadow_quads_banded(scene, vs, cfg, binned_cap, axis_name, n_devices):
+def _shadow_quads_banded(scene, light_pv, cfg, binned_cap, axis_name,
+                         n_devices):
     """Shadow raster band-sharded over the mesh (VERDICT r3 #4).
 
     The shadow map is light-space, so its rows are unrelated to the
@@ -95,8 +98,8 @@ def _shadow_quads_banded(scene, vs, cfg, binned_cap, axis_name, n_devices):
     from ..passes.frame_graph import _pcf_build
 
     smap = cfg.shadow_map_size
-    s_setup = triangle_setup(
-        vs.shadow_clip, scene.indices, scene.tri_valid, smap, smap,
+    s_setup = triangle_setup_from_attrs(
+        scene.tri_attrs, scene.tri_valid, light_pv, smap, smap,
         cull_backface=False,
         depth_bias_const=cfg.shadow_depth_bias_const,
         depth_bias_slope=cfg.shadow_depth_bias_slope,
@@ -152,30 +155,29 @@ def row_sharded_frame_body(
     d = jax.lax.axis_index(axis_name)
     row0 = d * h_local
 
-    vs = run_vertex_stage(
-        scene, params["proj_view"], params["prev_proj_view"],
-        params["light_proj_view"],
-    )
-
+    # no per-vertex stage: the fast path projects the packed per-
+    # triangle corners directly (triangle_setup_from_attrs — row
+    # sharding requires the fast path, so this always applies)
     shadow_overflow = jnp.zeros((), jnp.int32)
     shadow_quads = None
     if cfg.shadow_enabled and has_shadow_light:
         if shadow_bands_divisible(cfg, n_devices):
             shadow_quads, shadow_overflow = _shadow_quads_banded(
-                scene, vs, cfg, binned_cap, axis_name, n_devices
+                scene, params["light_proj_view"], cfg, binned_cap,
+                axis_name, n_devices
             )
         else:  # odd map/tile/device combination: replicated fallback
             shadow_quads, shadow_overflow = _shadow_quads_replicated(
-                scene, vs, cfg, binned_cap
+                scene, params["light_proj_view"], cfg, binned_cap
             )
 
     # setup is replicated (T-sized, cheap); binning is BAND-LOCAL: each
     # device enumerates and sorts only the pairs of its own tile rows
     # through 1/n-scaled caps (kernels/raster_setup.bin_triangles band
     # mode) — the scene-sized sort was the largest replicated stage
-    setup = triangle_setup(
-        vs.clip, scene.indices, scene.tri_valid, pad_w, pad_h,
-        cull_backface=True,
+    setup = triangle_setup_from_attrs(
+        scene.tri_attrs, scene.tri_valid, params["proj_view"],
+        pad_w, pad_h, cull_backface=True,
     )
     bin_h = cfg.tile_h // cfg.raster_sub_y  # binning granularity
     band_bin_rows = (pad_h_split // n_devices) // bin_h

@@ -24,7 +24,11 @@ from ..device.sampling import (
     build_window_rows_2x4,
 )
 from ..kernels.decimate import decimate_cols
-from ..kernels.raster_setup import bin_triangles, triangle_setup
+from ..kernels.raster_setup import (
+    bin_triangles,
+    triangle_setup,
+    triangle_setup_from_attrs,
+)
 from .checkerboard import reconstruct_full
 from ..kernels.rasterizer import rasterize, rasterize_attrs
 from ..scene.camera import Camera
@@ -172,19 +176,31 @@ def _sub_x_for(cfg, width: int) -> int:
     return sx if sx > 1 and width % (cfg.tile_w * sx) == 0 else 1
 
 
-def _shadow_map_from_clip(shadow_clip, scene, *, cfg, binned_cap):
+def _shadow_map_from_clip(shadow_clip, scene, *, cfg, binned_cap,
+                          light_pv=None):
     """Depth-only raster of the scene from light-space clip positions
     (shadow_pass.rs semantics: no culling, depth bias 2/2).
 
+    shadow_clip: per-vertex light clip (V, 4), or None to project the
+    packed per-triangle corners with ``light_pv`` instead (the fast
+    path — no per-vertex stage, see triangle_setup_from_attrs).
     Returns (shadow_map, overflow) — overflow is the binning's dropped
     (tile, tri) pair count (0 = nothing dropped)."""
     smap = cfg.shadow_map_size
-    s_setup = triangle_setup(
-        shadow_clip, scene.indices, scene.tri_valid, smap, smap,
-        cull_backface=False,  # shadow_pass.rs:132-140 CullMode::None
-        depth_bias_const=cfg.shadow_depth_bias_const,
-        depth_bias_slope=cfg.shadow_depth_bias_slope,
-    )
+    if shadow_clip is None:
+        s_setup = triangle_setup_from_attrs(
+            scene.tri_attrs, scene.tri_valid, light_pv, smap, smap,
+            cull_backface=False,  # shadow_pass.rs:132-140 CullMode::None
+            depth_bias_const=cfg.shadow_depth_bias_const,
+            depth_bias_slope=cfg.shadow_depth_bias_slope,
+        )
+    else:
+        s_setup = triangle_setup(
+            shadow_clip, scene.indices, scene.tri_valid, smap, smap,
+            cull_backface=False,
+            depth_bias_const=cfg.shadow_depth_bias_const,
+            depth_bias_slope=cfg.shadow_depth_bias_slope,
+        )
     bin_h = cfg.tile_h // cfg.raster_sub_y
     s_binned = bin_triangles(
         s_setup,
@@ -206,16 +222,15 @@ def _shadow_map_from_clip(shadow_clip, scene, *, cfg, binned_cap):
 def shadow_program(scene, light_proj_view, *, cfg, binned_cap):
     """Shadow map as quad-window rows, split out of frame_program so the
     result can be memoized: it is a pure function of
-    (scene, light_proj_view).  Returns (quad_rows, overflow)."""
-    world = jnp.take(scene.mesh_world, scene.vertex_mesh, axis=0)
-    pos1 = jnp.concatenate(
-        [scene.position, jnp.ones_like(scene.position[:, :1])], axis=-1
-    )
-    world_pos4 = jnp.einsum("vij,vj->vi", world, pos1)
-    shadow_clip = world_pos4 @ light_proj_view.T
+    (scene, light_proj_view).  Returns (quad_rows, overflow).
+
+    Only the fast path memoizes (Renderer._cached_shadow_quads), and the
+    fast path's light clip comes from the packed per-triangle corners —
+    same values the in-frame raster uses (triangle_setup_from_attrs)."""
     build = _pcf_build(cfg)
     shadow_map, overflow = _shadow_map_from_clip(
-        shadow_clip, scene, cfg=cfg, binned_cap=binned_cap
+        None, scene, cfg=cfg, binned_cap=binned_cap,
+        light_pv=light_proj_view,
     )
     return build(shadow_map), overflow
 
@@ -253,8 +268,14 @@ def frame_program(
     use_shadow = cfg.shadow_enabled
     smap = cfg.shadow_map_size
     fast = cfg.fast_sampling if fast_sampling is None else fast_sampling
-
-    vs = run_vertex_stage(
+    use_megakernel = fast and cfg.raster_interp_attrs
+    # the slim fast path's ONLY vertex-stage consumers were the setup
+    # corner gathers; projecting the packed per-triangle world corners
+    # (triangle_setup_from_attrs) instead skips the whole per-vertex
+    # stage — bit-identical (tri_attrs wp IS vs.world_pos per corner,
+    # and affine transforms make the homogeneous w exactly 1.0)
+    attrs_setup = fast and not use_megakernel
+    vs = None if attrs_setup else run_vertex_stage(
         scene,
         params["proj_view"],
         params["prev_proj_view"],
@@ -267,20 +288,27 @@ def frame_program(
     shadow_overflow = jnp.zeros((), jnp.int32)
     if use_shadow and has_shadow_light and not (fast and shadow_quads is not None):
         shadow_map, shadow_overflow = _shadow_map_from_clip(
-            vs.shadow_clip, scene, cfg=cfg, binned_cap=binned_cap
+            None if attrs_setup else vs.shadow_clip, scene,
+            cfg=cfg, binned_cap=binned_cap,
+            light_pv=params["light_proj_view"] if attrs_setup else None,
         )
 
     # --- G-buffer raster + attribute/texture pass -------------------------
-    setup = triangle_setup(
-        vs.clip, scene.indices, scene.tri_valid, pad_w, pad_h,
-        cull_backface=True,  # gbuffer_pass.rs:350
-    )
+    if attrs_setup:
+        setup = triangle_setup_from_attrs(
+            scene.tri_attrs, scene.tri_valid, params["proj_view"],
+            pad_w, pad_h, cull_backface=True,  # gbuffer_pass.rs:350
+        )
+    else:
+        setup = triangle_setup(
+            vs.clip, scene.indices, scene.tri_valid, pad_w, pad_h,
+            cull_backface=True,
+        )
     if fast and slot_map is None:
         raise ValueError(
             "fast_sampling requires slot_map (the host-read value of "
             "scene.stack_slots — see Renderer.prepare)"
         )
-    use_megakernel = fast and cfg.raster_interp_attrs
     # checkerboard shading: keep the FULL-res visibility buffer (it
     # guides reconstruction) but run the attribute/texture pass and
     # everything downstream on half the pixels (passes/checkerboard.py).
