@@ -144,21 +144,21 @@ def main():
         "shadow_raster_banded": banded_shadow,
         "replicated_stages": {
             "what": (
-                "vertex + triangle setups + PCF-window build; the "
-                "shadow RASTER is band-sharded (r4) and BINNING is "
-                "band-local (r5: each device enumerates + sorts only "
-                "its band's pairs, bin_triangles band mode — the "
-                "scene-sized sorts left the replicated bucket)"
+                "triangle setups (per-triangle corner projection) + "
+                "PCF-window build; the shadow RASTER is band-sharded "
+                "(r4), BINNING is band-local (r5), and the per-vertex "
+                "stage is GONE (r5: setup projects the packed "
+                "per-triangle corners, triangle_setup_from_attrs)"
             ),
             "binned_pairs_capacity": int(inner._binned_cap),
             "triangles": t,
             # single-chip trace attribution at sponza (NOTES_PERF.md):
-            # replicated = vertex 0.3 + setups ~0.7 + PCF window build
-            # 0.6 ~= 1.6ms of a 23.5ms frame (~7%); the ~2.0ms binning
-            # sorts are band-local since round 5 (were the largest
-            # replicated stage at ~15%; ~25% in round 3 when the shadow
-            # raster was replicated too)
-            "est_t_repl_frac_sponza": 0.07,
+            # replicated = setups ~0.4 (corner projection + edge math,
+            # gathers gone) + PCF window build 0.6 ~= 1.0ms of a 23.5ms
+            # frame (~4%); binning (~2.0ms) band-local and the vertex
+            # stage (0.3ms) eliminated in round 5 (was ~15% entering
+            # the round, ~25% in round 3)
+            "est_t_repl_frac_sponza": 0.04,
         },
         "cpu_mesh_4k_frame_seconds": round(dt, 1),
         "ok": True,
